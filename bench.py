@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched Gauss-Newton iteration latency on TPU.
+
+North-star (BASELINE.json): plan 1024 2-D trajectories in parallel with
+< 1 ms per GN iteration on a v5e.  The reference publishes no numbers
+(BASELINE.md); the driver-set target is the bar.
+
+Prints ONE JSON line:
+  {"metric": "gn_iter_ms_b1024", "value": <ms>, "unit": "ms",
+   "vs_baseline": <north_star_ms / value>}   (>1.0 means faster than target)
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgpmp2_tpu.core import gn, graph
+from dgpmp2_tpu.ops import sdf as sdf_ops
+from dgpmp2_tpu.robots import PointRobot2D
+from dgpmp2_tpu.utils.trajectory import straight_line_traj
+
+NORTH_STAR_MS = 1.0
+B = 1024
+T = 100  # reference default (gpmp2_2d_params.yaml:6) -> 101 states
+IMSIZE = 128
+DTYPE = jnp.float32
+
+
+def build_problem():
+    rng = np.random.default_rng(0)
+    spec = graph.GraphSpec(total_time_step=T)
+    robot = PointRobot2D()
+
+    imgs = np.ones((B, IMSIZE, IMSIZE), np.float32)
+    for i in range(B):
+        r, c = rng.integers(20, 90, 2)
+        imgs[i, r : r + 20, c : c + 20] = 0.0
+    res = 10.0 / IMSIZE
+    sdf = sdf_ops.sdf_from_occupancy(jnp.asarray(imgs), res=res).astype(DTYPE)
+
+    start = jnp.zeros((B, 4), DTYPE).at[:, :2].set(
+        jnp.asarray(rng.uniform(-4.5, -3.5, (B, 2)), DTYPE)
+    )
+    goal = jnp.zeros((B, 4), DTYPE).at[:, :2].set(
+        jnp.asarray(rng.uniform(3.5, 4.5, (B, 2)), DTYPE)
+    )
+    params = graph.default_params(
+        spec, robot, start, goal,
+        qc_inv=np.eye(2), cost_sigma=0.05, epsilon_dist=0.4,
+        k_s=0.01, k_g=0.01, dtype=DTYPE,
+    )
+    th0 = straight_line_traj(start[:, :2], goal[:, :2], spec.total_time_sec, T)
+    return spec, robot, params, th0, sdf
+
+
+def main():
+    spec, robot, params, th0, sdf = build_problem()
+
+    @jax.jit
+    def step(p, th, s):
+        return th + gn.gn_step(spec, robot, p, th, s, delta=0.1)
+
+    # Warm-up / compile.
+    th = step(params, th0, sdf)
+    th.block_until_ready()
+
+    iters = 50
+    t0 = time.perf_counter()
+    th = th0
+    for _ in range(iters):
+        th = step(params, th, sdf)
+    th.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    ms = elapsed / iters * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": "gn_iter_ms_b1024",
+                "value": round(ms, 4),
+                "unit": "ms",
+                "vs_baseline": round(NORTH_STAR_MS / ms, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

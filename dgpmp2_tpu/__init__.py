@@ -1,0 +1,13 @@
+"""dgpmp2_tpu — TPU-native differentiable Gaussian Process Motion Planning.
+
+A from-scratch JAX/XLA/Pallas rebuild of the dGPMP2 framework (Bhardwaj,
+Boots, Mukadam, ICRA 2020): batched Gauss-Newton trajectory optimization on
+a GP-prior factor graph, differentiable end-to-end through the unrolled
+optimizer, with learnable factor covariances.  Reference implementation:
+mhmukadam/dgpmp2 (PyTorch); design blueprint: SURVEY.md.
+"""
+from dgpmp2_tpu.core.graph import GraphSpec, GraphParams
+from dgpmp2_tpu.core.gn import OptimConfig, gn_step, plan
+from dgpmp2_tpu.robots import PointRobot2D, PointRobotXYH, RobotModel, make_robot
+
+__version__ = "0.1.0"

@@ -1,0 +1,180 @@
+"""Pure factor evaluations for the GPMP2 factor graph.
+
+Functional rebuild of the reference factor library (SURVEY.md §2.1):
+``gp/gp_factor.py``, ``gp/prior_factor.py``, ``obstacle/obstacle_factor.py``
++ ``obstacle/obstacle_cost.py``, ``custom_factors/nonholonomic_factor.py``,
+``custom_factors/velocity_limit_factor.py``.  The reference's mutable factor
+objects (``set_mean`` / ``set_inv_cov`` / ``get_error``) become pure
+functions: covariances and targets are *inputs*, residuals and Jacobian
+blocks are *outputs*, and everything is batched over arbitrary leading dims.
+
+Sign convention (uniform across all factors): every factor returns
+``(r, H)`` with ``H = -∂r/∂x``, so a Gauss-Newton step solves
+
+    (Σ HᵀΛH + δI) dθ = Σ HᵀΛ r,      θ ← θ + dθ.
+
+This is the convention the reference's GP / prior / obstacle / velocity
+factors all follow (e.g. prior ``e = mean - x`` with ``H = +I``,
+``prior_factor.py:15-18``).  The reference's nonholonomic factor has an
+inconsistent sign on its θ/velocity Jacobian entries
+(``nonholonomic_factor.py:22-27``); we implement the mathematically
+consistent ``H = -∂r/∂x`` (documented deviation — the reference value is a
+sign bug, see SURVEY.md §2.1).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dgpmp2_tpu.ops import sdf as sdf_ops
+
+
+# ---------------------------------------------------------------------------
+# GP prior (constant-velocity) — gp/gp_factor.py
+# ---------------------------------------------------------------------------
+
+
+def gp_phi(dof: int, dt: float, dtype=jnp.float32) -> jnp.ndarray:
+    """State transition ``Φ(dt) = [[I, dt·I], [0, I]]`` (``gp_factor.py:31-37``)."""
+    eye = jnp.eye(dof, dtype=dtype)
+    zero = jnp.zeros((dof, dof), dtype)
+    return jnp.block([[eye, dt * eye], [zero, eye]])
+
+
+def gp_q_inv(qc_inv: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """Expand ``Q_c⁻¹`` (..., dof, dof) to the full GP inverse covariance.
+
+    ``Q⁻¹ = [[12 dt⁻³ Qc⁻¹, -6 dt⁻² Qc⁻¹], [-6 dt⁻² Qc⁻¹, 4 dt⁻¹ Qc⁻¹]]``
+    (``gp_factor.py:55-73``).  Output shape (..., 2·dof, 2·dof).
+    """
+    m1 = 12.0 * dt**-3.0 * qc_inv
+    m2 = -6.0 * dt**-2.0 * qc_inv
+    m3 = 4.0 * dt**-1.0 * qc_inv
+    top = jnp.concatenate([m1, m2], axis=-1)
+    bot = jnp.concatenate([m2, m3], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def gp_residual(th: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+    """GP residual ``r_i = x_{i+1} - Φ x_i`` for i = 0..T-1.
+
+    Args:
+      th:  (..., T+1, D) trajectory.
+      phi: (D, D) transition matrix.
+
+    Returns (..., T, D).  Jacobians are constant: ``H1 = Φ`` w.r.t. ``x_i``,
+    ``H2 = -I`` w.r.t. ``x_{i+1}`` (``gp_factor.py:100-110``) — the
+    assembler uses them in closed form rather than materializing per-factor
+    copies.
+    """
+    return th[..., 1:, :] - jnp.einsum("ij,...tj->...ti", phi, th[..., :-1, :])
+
+
+# ---------------------------------------------------------------------------
+# Start / goal priors — gp/prior_factor.py
+# ---------------------------------------------------------------------------
+
+
+def prior_residual(mean: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Unary anchor ``r = mean - x`` with ``H = I`` (``prior_factor.py:15-18``)."""
+    return mean - x
+
+
+# ---------------------------------------------------------------------------
+# Obstacle factor — obstacle/obstacle_factor.py + obstacle_cost.py
+# ---------------------------------------------------------------------------
+
+
+def hinge_obstacle_residual(
+    centers: jnp.ndarray,
+    jac_fk: jnp.ndarray,
+    radii: jnp.ndarray,
+    eps: jnp.ndarray,
+    sdf: jnp.ndarray,
+    res: float,
+    x_lims,
+    y_lims,
+):
+    """Hinge-loss obstacle residual + Jacobian per trajectory state.
+
+    ``r = max(0, (ε + radius) - d(c))`` per sphere; inside the hinge
+    ``H = ∇d · J_fk`` (= -∂r/∂x), zero outside
+    (``obstacle_cost.py:29-38``, ``obstacle_factor.py:35-40``).
+
+    Args:
+      centers: (..., T, L, W) workspace sphere centers (W = 2).
+      jac_fk:  (..., T, L, W, D) FK Jacobians.
+      radii:   (L,) sphere radii.
+      eps:     (..., T, L) safety margin ε (may be learned per state).
+      sdf:     (..., H, Wim) signed distance field, metric units.
+
+    Returns:
+      r: (..., T, L) hinge costs, H: (..., T, L, D) state-space Jacobians.
+    """
+    t, l = centers.shape[-3], centers.shape[-2]
+    pts = centers.reshape(*centers.shape[:-3], t * l, centers.shape[-1])
+    d, grad = sdf_ops.bilinear_lookup(sdf, pts, res, x_lims, y_lims)
+    d = d.reshape(*centers.shape[:-3], t, l)
+    grad = grad.reshape(*centers.shape[:-1], centers.shape[-1])
+
+    eps_tot = eps + radii
+    active = d <= eps_tot
+    r = jnp.where(active, eps_tot - d, jnp.zeros_like(d))
+    h_c = jnp.where(active[..., None], grad, jnp.zeros_like(grad))
+    h = jnp.einsum("...lw,...lwd->...ld", h_c, jac_fk)
+    return r, h
+
+
+# ---------------------------------------------------------------------------
+# Nonholonomic (unicycle) factor — custom_factors/nonholonomic_factor.py
+# ---------------------------------------------------------------------------
+
+
+def nonholonomic_residual(th: jnp.ndarray):
+    """Unicycle constraint on state ``[x, y, θ, vx, vy, ω]``.
+
+    ``r = vy·cosθ - vx·sinθ`` (zero when the velocity is aligned with the
+    heading, ``nonholonomic_factor.py:16-21``).  Returns ``(r, H)`` with
+    ``r`` (..., T) and ``H = -∂r/∂x`` (..., T, 6) — the consistent-sign
+    Jacobian (see module docstring for the documented deviation).
+    """
+    theta = th[..., 2]
+    vx = th[..., 3]
+    vy = th[..., 4]
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    r = vy * c - vx * s
+    zeros = jnp.zeros_like(r)
+    h = jnp.stack(
+        [zeros, zeros, vy * s + vx * c, s, -c, zeros], axis=-1
+    )
+    return r, h
+
+
+# ---------------------------------------------------------------------------
+# Velocity-limit factor — custom_factors/velocity_limit_factor.py
+# ---------------------------------------------------------------------------
+
+
+def velocity_limit_residual(th: jnp.ndarray, v_lim: jnp.ndarray, dof: int):
+    """Per-axis velocity-magnitude hinge for a 2·dof state.
+
+    ``r_k = max(0, |v_k| - v_lim_k)`` with ``H_k = -sign(v_k)·e_{v_k}``
+    inside the hinge (``velocity_limit_factor.py:17-29``).
+
+    Args:
+      th:    (..., T, D) trajectory with velocities in the last ``dof`` dims.
+      v_lim: (..., T, dof) per-axis limits.
+
+    Returns r (..., T, dof) and H (..., T, dof, D).
+    """
+    d = th.shape[-1]
+    v = th[..., dof:]
+    over = jnp.abs(v) >= v_lim
+    r = jnp.where(over, jnp.abs(v) - v_lim, jnp.zeros_like(v))
+    sign = jnp.where(over, -jnp.sign(v), jnp.zeros_like(v))
+    # Row k touches only state component dof+k.
+    sel = jnp.eye(dof, dtype=th.dtype)
+    h_v = sign[..., :, None] * sel  # (..., T, dof, dof)
+    h = jnp.concatenate(
+        [jnp.zeros((*h_v.shape[:-1], d - dof), th.dtype), h_v], axis=-1
+    )
+    return r, h

@@ -1,0 +1,376 @@
+"""Factor-graph specification and block-sparse normal-equation assembly.
+
+TPU-native replacement for the reference's linear-system engine
+(``diff_gpmp2/gpmp2/plan_layer.py``, SURVEY.md §2.2).  The reference
+precomputes boolean scatter masks and builds the dense ``(B, M, N)``
+Jacobian ``A``, dense ``(B, M, M)`` weights ``K``, then forms ``AᵀKA`` with
+two batched matmuls (``plan_layer.py:152-234``).  Because every factor is
+unary or couples adjacent states, ``AᵀKA`` is symmetric block-tridiagonal —
+so we assemble its ``D×D`` blocks *directly* from factor evaluations and
+never materialize ``A``/``K`` at all:
+
+    diag_i  = Σ  H_fᵀ Λ_f H_f      over factors touching state i
+    off_i   = -Φᵀ Q⁻¹_i            (the only inter-state coupling: GP)
+    rhs_i   = Σ  H_fᵀ Λ_f r_f
+
+Work per GN iteration drops from O(B·M·N + B·N³) dense to O(B·T·D³), and
+memory from O(B·M·N) to O(B·T·D²).
+
+Everything here is a pure function of (spec, params, trajectory, sdf):
+``spec`` is static (hashable) configuration, ``params`` a pytree of means /
+inverse covariances that may be constants or network outputs — gradients
+flow through assembly into learned covariances exactly as the reference's
+autograd does through ``masked_scatter_``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from flax import struct
+
+from dgpmp2_tpu.core import factors
+from dgpmp2_tpu.robots import RobotModel
+
+# All block algebra runs at full f32 precision: these are tiny-dim
+# contractions (D<=6, L small) where TPU bf16 MXU rounding would corrupt
+# the 1e4-scale covariance weights for zero speed benefit.
+_einsum = functools.partial(jnp.einsum, precision=lax.Precision.HIGHEST)
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphSpec:
+    """Static problem dimensions & options (``plan_layer.py:26-46``)."""
+
+    dof: int = 2
+    state_dim: int = 4
+    total_time_sec: float = 10.0
+    total_time_step: int = 100  # T; trajectory has T+1 states
+    nlinks: int = 1
+    x_lims: Tuple[float, float] = (-5.0, 5.0)
+    y_lims: Tuple[float, float] = (-5.0, 5.0)
+    non_holonomic: bool = False
+    use_vel_limits: bool = False
+
+    @property
+    def num_traj_states(self) -> int:
+        return self.total_time_step + 1
+
+    @property
+    def num_gp_factors(self) -> int:
+        return self.total_time_step
+
+    @property
+    def dt(self) -> float:
+        return float(self.total_time_sec) / float(self.total_time_step)
+
+    @property
+    def M(self) -> int:
+        """Total residual dimension — the error normalizer (``plan_layer.py:43-45``)."""
+        m = self.state_dim * (self.num_gp_factors + 2)
+        m += self.num_traj_states * self.nlinks
+        if self.non_holonomic:
+            m += self.num_traj_states
+        if self.use_vel_limits:
+            m += self.dof * self.num_traj_states
+        return m
+
+    @property
+    def N(self) -> int:
+        return self.state_dim * self.num_traj_states
+
+    def res(self, sdf_width: int) -> float:
+        """Metres per pixel, recomputed from the SDF width exactly as the
+        reference hot path does (``obstacle_cost.py:35``)."""
+        return (self.x_lims[1] - self.x_lims[0]) / float(sdf_width)
+
+
+class GraphParams(struct.PyTreeNode):
+    """Per-problem factor parameters (batched pytree).
+
+    Shapes (B = batch, T = total_time_step, D = state_dim, L = nlinks):
+      start, goal: (B, D) prior means.
+      q_inv:   (B, T, D, D) full GP inverse covariance per factor — expand a
+               learned/static ``Q_c⁻¹`` with :func:`factors.gp_q_inv`, or
+               inject directly (``dynamics_mode='q_full'``,
+               ``plan_layer.py:90``).
+      ks_inv, kg_inv: (B, D, D) start/goal prior inverse covariances.
+      obs_inv: (B, T+1, L, L) obstacle inverse covariances.
+      eps:     (B, T+1, L) obstacle safety margins.
+      dyn_inv: (B, T+1) nonholonomic weights (None unless enabled).
+      vel_inv: (B, T+1, dof, dof) velocity-limit inverse covs (None unless
+               enabled).
+      v_lim:   (B, T+1, dof) per-axis velocity limits.
+    """
+
+    start: jnp.ndarray
+    goal: jnp.ndarray
+    q_inv: jnp.ndarray
+    ks_inv: jnp.ndarray
+    kg_inv: jnp.ndarray
+    obs_inv: jnp.ndarray
+    eps: jnp.ndarray
+    dyn_inv: Optional[jnp.ndarray] = None
+    vel_inv: Optional[jnp.ndarray] = None
+    v_lim: Optional[jnp.ndarray] = None
+
+
+def assemble(
+    spec: GraphSpec,
+    robot: RobotModel,
+    params: GraphParams,
+    th: jnp.ndarray,
+    sdf: jnp.ndarray,
+):
+    """Assemble block-tridiagonal GN normal equations at linearization ``th``.
+
+    Args:
+      th:  (B, T+1, D) current trajectories.
+      sdf: (B, H, W) signed distance fields (metric units).
+
+    Returns:
+      diag (B, T+1, D, D), off (B, T, D, D), rhs (B, T+1, D) such that the
+      dense system the reference builds satisfies ``AᵀKA = blocktridiag(diag,
+      off)`` and ``AᵀKb = rhs``.
+    """
+    d = spec.state_dim
+    tn = spec.num_traj_states
+    dtype = th.dtype
+    batch = th.shape[:-2]
+
+    phi = factors.gp_phi(spec.dof, spec.dt, dtype)
+
+    # --- GP factors (the only inter-state coupling) ---------------------
+    r_gp = factors.gp_residual(th, phi)  # (B, T, D)
+    q_inv = params.q_inv  # (B, T, D, D)
+    # H1 = Φ (w.r.t. x_i), H2 = -I (w.r.t. x_{i+1}):
+    #   diag_i   += Φᵀ Q⁻¹ Φ ;  diag_{i+1} += Q⁻¹
+    #   off_i     = -Φᵀ Q⁻¹   ;  rhs_i += Φᵀ Q⁻¹ r ; rhs_{i+1} -= Q⁻¹ r
+    phiT_q = _einsum("ji,...tjk->...tik", phi, q_inv)  # Φᵀ Q⁻¹
+    diag = jnp.zeros((*batch, tn, d, d), dtype)
+    diag = diag.at[..., :-1, :, :].add(_einsum("...tij,jk->...tik", phiT_q, phi))
+    diag = diag.at[..., 1:, :, :].add(q_inv)
+    off = -phiT_q  # (B, T, D, D)
+    rhs = jnp.zeros((*batch, tn, d), dtype)
+    rhs = rhs.at[..., :-1, :].add(_einsum("...tij,...tj->...ti", phiT_q, r_gp))
+    rhs = rhs.at[..., 1:, :].add(-_einsum("...tij,...tj->...ti", q_inv, r_gp))
+
+    # --- Start / goal priors (H = I) ------------------------------------
+    r_s = factors.prior_residual(params.start, th[..., 0, :])
+    r_g = factors.prior_residual(params.goal, th[..., -1, :])
+    diag = diag.at[..., 0, :, :].add(params.ks_inv)
+    diag = diag.at[..., -1, :, :].add(params.kg_inv)
+    rhs = rhs.at[..., 0, :].add(_einsum("...ij,...j->...i", params.ks_inv, r_s))
+    rhs = rhs.at[..., -1, :].add(_einsum("...ij,...j->...i", params.kg_inv, r_g))
+
+    # --- Obstacle factors (unary) ----------------------------------------
+    centers, jac_fk = robot.fk(th)
+    r_obs, h_obs = factors.hinge_obstacle_residual(
+        centers,
+        jac_fk,
+        robot.radii_array(dtype),
+        params.eps,
+        sdf,
+        spec.res(sdf.shape[-1]),
+        spec.x_lims,
+        spec.y_lims,
+    )  # (B, T+1, L), (B, T+1, L, D)
+    lam_h = _einsum("...lk,...ki->...li", params.obs_inv, h_obs)
+    diag = diag + _einsum("...li,...lj->...ij", h_obs, lam_h)
+    rhs = rhs + _einsum("...li,...l->...i", lam_h, r_obs)
+
+    # --- Nonholonomic constraint (unary, scalar residual) ----------------
+    if spec.non_holonomic:
+        r_dyn, h_dyn = factors.nonholonomic_residual(th)  # (B,T+1), (B,T+1,D)
+        w = params.dyn_inv  # (B, T+1)
+        diag = diag + w[..., None, None] * (
+            h_dyn[..., :, None] * h_dyn[..., None, :]
+        )
+        rhs = rhs + (w * r_dyn)[..., None] * h_dyn
+
+    # --- Velocity limits (unary, dof residuals) --------------------------
+    if spec.use_vel_limits:
+        r_vel, h_vel = factors.velocity_limit_residual(th, params.v_lim, spec.dof)
+        lam_hv = _einsum("...lk,...ki->...li", params.vel_inv, h_vel)
+        diag = diag + _einsum("...li,...lj->...ij", h_vel, lam_hv)
+        rhs = rhs + _einsum("...li,...l->...i", lam_hv, r_vel)
+
+    return diag, off, rhs
+
+
+def graph_error(
+    spec: GraphSpec,
+    robot: RobotModel,
+    params: GraphParams,
+    th: jnp.ndarray,
+    sdf: jnp.ndarray,
+    q_inv: Optional[jnp.ndarray] = None,
+    obs_inv: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Total weighted factor-graph error, normalized by M.
+
+    ``err = (Σ_f ½ r_fᵀ Λ_f r_f) / M`` over all factors
+    (``plan_layer.py:273-345``).  Pass ``q_inv`` / ``obs_inv`` to override
+    the GP/obstacle weights — that is how ``error_ext`` pins *fixed*
+    external covariances so learned weights can't game the metric
+    (``plan_layer.py:78-81,310-345``).  Returns (B,).
+    """
+    dtype = th.dtype
+    phi = factors.gp_phi(spec.dof, spec.dt, dtype)
+    q_inv = params.q_inv if q_inv is None else q_inv
+    obs_inv = params.obs_inv if obs_inv is None else obs_inv
+
+    r_s = factors.prior_residual(params.start, th[..., 0, :])
+    r_g = factors.prior_residual(params.goal, th[..., -1, :])
+    err = 0.5 * _einsum("...i,...ij,...j->...", r_s, params.ks_inv, r_s)
+    err += 0.5 * _einsum("...i,...ij,...j->...", r_g, params.kg_inv, r_g)
+
+    r_gp = factors.gp_residual(th, phi)
+    err += 0.5 * _einsum("...ti,...tij,...tj->...", r_gp, q_inv, r_gp)
+
+    centers, jac_fk = robot.fk(th)
+    r_obs, _ = factors.hinge_obstacle_residual(
+        centers,
+        jac_fk,
+        robot.radii_array(dtype),
+        params.eps,
+        sdf,
+        spec.res(sdf.shape[-1]),
+        spec.x_lims,
+        spec.y_lims,
+    )
+    err += 0.5 * _einsum("...tl,...tlk,...tk->...", r_obs, obs_inv, r_obs)
+
+    if spec.non_holonomic:
+        r_dyn, _ = factors.nonholonomic_residual(th)
+        err += 0.5 * _einsum("...t,...t->...", params.dyn_inv * r_dyn, r_dyn)
+    if spec.use_vel_limits:
+        r_vel, _ = factors.velocity_limit_residual(th, params.v_lim, spec.dof)
+        err += 0.5 * _einsum("...tl,...tlk,...tk->...", r_vel, params.vel_inv, r_vel)
+
+    return err / spec.M
+
+
+def unweighted_errors(
+    spec: GraphSpec,
+    robot: RobotModel,
+    params: GraphParams,
+    th: jnp.ndarray,
+    sdf: jnp.ndarray,
+):
+    """Unweighted per-term errors for task losses (``plan_layer.py:374-388``).
+
+    Returns ``(err_sg, err_gp, err_obs)`` each shaped (B,):
+      err_sg  = ½‖r_start‖² + ½‖r_goal‖²  (mean over the singleton factor dim)
+      err_gp  = mean_t ½‖r_gp,t‖²
+      err_obs = mean_t ½‖r_obs,t‖²
+    """
+    dtype = th.dtype
+    phi = factors.gp_phi(spec.dof, spec.dt, dtype)
+
+    r_s = factors.prior_residual(params.start, th[..., 0, :])
+    r_g = factors.prior_residual(params.goal, th[..., -1, :])
+    err_sg = 0.5 * jnp.sum(r_s * r_s, -1) + 0.5 * jnp.sum(r_g * r_g, -1)
+
+    r_gp = factors.gp_residual(th, phi)
+    err_gp = jnp.mean(0.5 * jnp.sum(r_gp * r_gp, -1), axis=-1)
+
+    centers, jac_fk = robot.fk(th)
+    r_obs, _ = factors.hinge_obstacle_residual(
+        centers,
+        jac_fk,
+        robot.radii_array(dtype),
+        params.eps,
+        sdf,
+        spec.res(sdf.shape[-1]),
+        spec.x_lims,
+        spec.y_lims,
+    )
+    err_obs = jnp.mean(0.5 * jnp.sum(r_obs * r_obs, -1), axis=-1)
+    return err_sg, err_gp, err_obs
+
+
+def obstacle_residuals(spec, robot, params, th, sdf):
+    """Raw per-state hinge residuals (B, T+1, L) — used by collision metrics."""
+    centers, jac_fk = robot.fk(th)
+    r_obs, _ = factors.hinge_obstacle_residual(
+        centers,
+        jac_fk,
+        robot.radii_array(th.dtype),
+        params.eps,
+        sdf,
+        spec.res(sdf.shape[-1]),
+        spec.x_lims,
+        spec.y_lims,
+    )
+    return r_obs
+
+
+def default_params(
+    spec: GraphSpec,
+    robot: RobotModel,
+    start: jnp.ndarray,
+    goal: jnp.ndarray,
+    qc_inv,
+    cost_sigma,
+    epsilon_dist,
+    k_s,
+    k_g,
+    k_d=None,
+    k_v=None,
+    v_x=None,
+    v_y=None,
+    dtype=jnp.float32,
+) -> GraphParams:
+    """Build fixed-covariance GraphParams from reference YAML scalars.
+
+    Mirrors ``DiffGPMP2Planner.__init__`` static-covariance setup
+    (``diff_gpmp2_planner.py:42-51``, ``plan_layer.py:52-68``): isotropic
+    ``K_s⁻¹ = I/K_s²``, ``K_g⁻¹ = I/K_g²``, obstacle ``Λ = I/σ²``, GP
+    ``Q_c⁻¹`` expanded via :func:`factors.gp_q_inv`.
+
+    ``start``/``goal`` are (B, D); all covariances broadcast over B.
+    """
+    b = start.shape[0]
+    d, tn, t, l = spec.state_dim, spec.num_traj_states, spec.total_time_step, spec.nlinks
+
+    qc = jnp.broadcast_to(jnp.asarray(qc_inv, dtype), (b, t, spec.dof, spec.dof))
+    q_inv = factors.gp_q_inv(qc, spec.dt)
+    eye_d = jnp.eye(d, dtype=dtype)
+    ks_inv = jnp.broadcast_to(eye_d / jnp.asarray(k_s, dtype) ** 2, (b, d, d))
+    kg_inv = jnp.broadcast_to(eye_d / jnp.asarray(k_g, dtype) ** 2, (b, d, d))
+    obs_inv = jnp.broadcast_to(
+        jnp.eye(l, dtype=dtype) / jnp.asarray(cost_sigma, dtype) ** 2, (b, tn, l, l)
+    )
+    eps = jnp.full((b, tn, l), jnp.asarray(epsilon_dist, dtype))
+
+    dyn_inv = None
+    if spec.non_holonomic:
+        dyn_inv = jnp.full((b, tn), 1.0 / jnp.asarray(k_d, dtype) ** 2)
+    vel_inv = None
+    v_lim = None
+    if spec.use_vel_limits:
+        vel_inv = jnp.broadcast_to(
+            jnp.eye(spec.dof, dtype=dtype) / jnp.asarray(k_v, dtype) ** 2,
+            (b, tn, spec.dof, spec.dof),
+        )
+        v_lim = jnp.broadcast_to(
+            jnp.asarray([v_x, v_y], dtype), (b, tn, spec.dof)
+        )
+    return GraphParams(
+        start=start.astype(dtype),
+        goal=goal.astype(dtype),
+        q_inv=q_inv,
+        ks_inv=ks_inv,
+        kg_inv=kg_inv,
+        obs_inv=obs_inv,
+        eps=eps,
+        dyn_inv=dyn_inv,
+        vel_inv=vel_inv,
+        v_lim=v_lim,
+    )

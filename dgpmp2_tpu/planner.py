@@ -1,0 +1,289 @@
+"""High-level planner APIs mirroring the reference drivers.
+
+* :class:`DiffGPMP2Planner` — the differentiable planner
+  (``diff_gpmp2/gpmp2/diff_gpmp2_planner.py``): ``step`` does one batched GN
+  iteration returning ``(dtheta, err, err_ext, covariances...)``; ``plan``
+  (the reference's ``forward``) runs the full unrolled optimization with
+  per-problem convergence and returns error traces; ``error_batch`` /
+  ``error_ext_batch`` / ``unweighted_errors_batch`` expose the same error
+  functionals.  Learned covariances enter through a covariance-provider
+  callable (see ``dgpmp2_tpu/learn``) or explicit per-call overrides.
+
+* :class:`GPMP2Planner` — the classic, non-differentiable planner
+  (``gpmp2/gpmp2_planner.py``): host-side GN/LM loop over a jitted step with
+  wall-clock plan budget (``plan_time``), lambda adaptation (10×/÷10) and
+  trust-region damping — the pieces that need data-dependent host control
+  flow live here, everything numeric stays compiled.
+
+Design difference from the reference (deliberate, TPU-first): planners hold
+only *static* configuration; all per-problem state (trajectories, SDFs,
+means, covariances) flows through function arguments as batched pytrees, so
+every method jits, vmaps and shards cleanly.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgpmp2_tpu.core import factors, gn, graph
+from dgpmp2_tpu.utils import config as config_lib
+
+
+class DiffGPMP2Planner:
+    """Differentiable batched GPMP2 planner.
+
+    Args mirror the reference constructor (``diff_gpmp2_planner.py:16``):
+    dict params from the YAML schema plus a robot model.  ``dtype`` selects
+    the compute precision (f32 on TPU; f64 available on CPU for
+    verification).
+    """
+
+    def __init__(
+        self,
+        gp_params,
+        obs_params,
+        planner_params,
+        optim_params,
+        env_params,
+        robot,
+        learn_params=None,
+        dtype=jnp.float32,
+    ):
+        self.robot = robot
+        self.spec = config_lib.spec_from_params(planner_params, env_params, robot)
+        self.cfg = config_lib.optim_from_params(optim_params)
+        self.gp_params = gp_params
+        self.obs_params = obs_params
+        self.learn_params = learn_params
+        self.dtype = dtype
+        self.dynamics_mode = (
+            learn_params["dgpmp2"]["dynamics_mode"] if learn_params else None
+        )
+
+    # -- parameter construction -------------------------------------------
+
+    def make_params(self, start, goal) -> graph.GraphParams:
+        """Fixed-covariance GraphParams from the YAML scalars for a batch of
+        (start, goal) pairs shaped (B, D)."""
+        gp, obs = self.gp_params, self.obs_params
+        return graph.default_params(
+            self.spec,
+            self.robot,
+            jnp.asarray(start, self.dtype),
+            jnp.asarray(goal, self.dtype),
+            qc_inv=gp["Q_c_inv"],
+            cost_sigma=obs["cost_sigma"],
+            epsilon_dist=obs["epsilon_dist"],
+            k_s=gp["K_s"],
+            k_g=gp["K_g"],
+            k_d=gp.get("K_d"),
+            k_v=gp.get("K_v"),
+            v_x=gp.get("v_x"),
+            v_y=gp.get("v_y"),
+            dtype=self.dtype,
+        )
+
+    def _with_overrides(self, params, qc_inv_traj=None, q_inv=None,
+                        obscov_inv_traj=None, eps_traj=None):
+        """Apply learned/explicit covariance overrides.
+
+        ``qc_inv_traj`` is (B, T, dof, dof) and gets expanded through the GP
+        closed form; ``q_inv`` is a full (B, T, D, D) inverse covariance
+        (``dynamics_mode='q_full'``, ``plan_layer.py:90``).
+        """
+        if qc_inv_traj is not None:
+            params = params.replace(
+                q_inv=factors.gp_q_inv(qc_inv_traj.astype(self.dtype), self.spec.dt)
+            )
+        if q_inv is not None:
+            params = params.replace(q_inv=q_inv.astype(self.dtype))
+        if obscov_inv_traj is not None:
+            params = params.replace(obs_inv=obscov_inv_traj.astype(self.dtype))
+        if eps_traj is not None:
+            params = params.replace(eps=eps_traj.astype(self.dtype))
+        return params
+
+    # -- reference API ------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _step_impl(self, params, params_fix, th, sdf):
+        dth = gn.gn_step(
+            self.spec, self.robot, params, th, sdf,
+            delta=jnp.asarray(self.cfg.reg, self.dtype),
+        )
+        err = jax.lax.stop_gradient(
+            graph.graph_error(self.spec, self.robot, params, th, sdf)
+        )
+        err_ext = graph.graph_error(
+            self.spec, self.robot, params, th, sdf,
+            q_inv=params_fix.q_inv, obs_inv=params_fix.obs_inv,
+        )
+        return dth, err, err_ext
+
+    def step(
+        self,
+        th,
+        start,
+        goal,
+        sdf,
+        qc_inv_traj=None,
+        q_inv=None,
+        obscov_inv_traj=None,
+        eps_traj=None,
+    ):
+        """One batched GN iteration (``DiffGPMP2Planner.step``,
+        ``diff_gpmp2_planner.py:176-211``).
+
+        Returns ``(dtheta, err, err_ext, params)`` where ``err`` is the
+        weighted graph error under stop-gradient (``plan_layer.error_batch``
+        semantics) and ``err_ext`` the gradient-carrying external error with
+        fixed covariances; ``params`` carries the covariances actually used
+        (the reference returns them for its training loop).
+        """
+        params_fix = self.make_params(start, goal)
+        params = self._with_overrides(
+            params_fix, qc_inv_traj, q_inv, obscov_inv_traj, eps_traj
+        )
+        th = jnp.asarray(th, self.dtype)
+        sdf = jnp.asarray(sdf, self.dtype)
+        dth, err, err_ext = self._step_impl(params, params_fix, th, sdf)
+        return dth, err, err_ext, params
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _plan_impl(self, params, params_fix, th_init, sdf):
+        return gn.plan(
+            self.spec, self.robot, params, th_init, sdf, self.cfg,
+            params_fix=params_fix,
+        )
+
+    def plan(
+        self,
+        th_init,
+        start,
+        goal,
+        sdf,
+        qc_inv_traj=None,
+        q_inv=None,
+        obscov_inv_traj=None,
+        eps_traj=None,
+    ) -> gn.PlanResult:
+        """Full unrolled plan (the reference's ``forward``,
+        ``diff_gpmp2_planner.py:92-174``) — batched, compiled, differentiable."""
+        params_fix = self.make_params(start, goal)
+        params = self._with_overrides(
+            params_fix, qc_inv_traj, q_inv, obscov_inv_traj, eps_traj
+        )
+        return self._plan_impl(
+            params, params_fix, jnp.asarray(th_init, self.dtype),
+            jnp.asarray(sdf, self.dtype),
+        )
+
+    # Alias for reference drop-in feel.
+    forward = plan
+
+    def error_batch(self, th, start, goal, sdf):
+        params = self.make_params(start, goal)
+        return jax.lax.stop_gradient(
+            graph.graph_error(self.spec, self.robot, params,
+                              jnp.asarray(th, self.dtype),
+                              jnp.asarray(sdf, self.dtype))
+        )
+
+    def error_ext_batch(self, th, start, goal, sdf):
+        params = self.make_params(start, goal)
+        return graph.graph_error(
+            self.spec, self.robot, params,
+            jnp.asarray(th, self.dtype), jnp.asarray(sdf, self.dtype),
+        )
+
+    def unweighted_errors_batch(self, th, start, goal, sdf):
+        params = self.make_params(start, goal)
+        return graph.unweighted_errors(
+            self.spec, self.robot, params,
+            jnp.asarray(th, self.dtype), jnp.asarray(sdf, self.dtype),
+        )
+
+
+class GPMP2Planner:
+    """Classic (non-differentiable) GN / LM planner with host-side control.
+
+    Mirrors ``gpmp2/gpmp2_planner.py``: explicit iteration loop with
+    convergence exit, wall-clock ``plan_time`` budget, and for ``method=
+    'lm'`` the 10×/÷10 lambda schedule with trust-region diagonal damping
+    and step rejection (``gpmp2_planner.py:92-103,177-193``).  Each
+    iteration's numeric work is one compiled GN step.
+    """
+
+    def __init__(self, gp_params, obs_params, planner_params, env_params, robot,
+                 dtype=jnp.float64):
+        self._diff = DiffGPMP2Planner(
+            gp_params, obs_params, planner_params,
+            {"method": "gauss_newton", "reg": 0.0, "max_iters": 100},
+            env_params, robot, dtype=dtype,
+        )
+        self.spec = self._diff.spec
+        self.robot = robot
+        self.dtype = dtype
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _step(self, params, th, sdf, delta, trust_region):
+        dth = gn.gn_step(self.spec, self.robot, params, th, sdf,
+                         delta, trust_region=trust_region)
+        err_new = graph.graph_error(self.spec, self.robot, params, th + dth, sdf)
+        return dth, err_new
+
+    def plan(self, start, goal, th_init, sdf, optim_params=None):
+        """Single-problem plan; returns ``(th, err_init, err_final,
+        err_per_iter, iters, time_taken)`` like ``gpmp2_planner.py:62-131``."""
+        if optim_params is None:
+            optim_params = {
+                "method": "gauss_newton", "plan_time": np.inf,
+                "max_iters": 100, "tol_err": 1e-2, "tol_delta": 1e-3, "reg": 0.0,
+            }
+        method = optim_params.get("method", "gauss_newton")
+        plan_time = config_lib.plan_time_budget(optim_params)
+        max_iters = float(optim_params.get("max_iters", np.inf))
+        tol_delta = float(optim_params.get("tol_delta", 1e-3))
+
+        th = jnp.asarray(th_init, self.dtype)[None]
+        sdfb = jnp.asarray(sdf, self.dtype)[None]
+        params = self._diff.make_params(
+            jnp.asarray(start, self.dtype)[None], jnp.asarray(goal, self.dtype)[None]
+        )
+        err_old = float(graph.graph_error(self.spec, self.robot, params, th, sdfb)[0])
+        err_init = err_old
+        lam = 1e-4
+        err_per_iter = []
+        start_t = time.time()
+        j = 0
+        while True:
+            err_per_iter.append(err_old)
+            if method == "lm":
+                dth, err_new = self._step(
+                    params, th, sdfb, jnp.asarray(lam, self.dtype), True
+                )
+                err_new = float(err_new[0])
+                if err_new < err_old:
+                    th = th + dth
+                    lam /= 10.0
+                    err_old = err_new
+                else:
+                    lam *= 10.0
+            else:
+                delta = jnp.asarray(float(optim_params.get("reg", 0.0)), self.dtype)
+                dth, err_new = self._step(params, th, sdfb, delta, False)
+                th = th + dth
+                err_old = float(err_new[0])
+            j += 1
+            if float(jnp.linalg.norm(dth)) < tol_delta or j >= max_iters:
+                break
+            if time.time() - start_t > plan_time:
+                break
+        return (
+            th[0], err_init, err_old, err_per_iter, j, time.time() - start_t,
+        )

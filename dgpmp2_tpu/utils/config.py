@@ -1,0 +1,87 @@
+"""YAML configuration loading — schema-compatible with the reference.
+
+The reference drives everything from four YAML families loaded by
+``diff_gpmp2/utils/helpers.py:9-59``: planner yaml (``gpmp2.{planner_params,
+gp_params, obs_params, optim_params}``), robot yaml, env yaml, and learn
+yaml.  These loaders accept the *same files* (e.g.
+``examples/configs/gpmp2_2d_params.yaml``) so reference configs drop in,
+but return plain Python/numpy values instead of torch tensors.
+"""
+from __future__ import annotations
+
+import numpy as np
+import yaml
+
+from dgpmp2_tpu.core.gn import OptimConfig
+from dgpmp2_tpu.core.graph import GraphSpec
+from dgpmp2_tpu.robots import make_robot
+
+
+def _load_yaml(path):
+    with open(path, "r") as fp:
+        return yaml.safe_load(fp)
+
+
+def load_params(param_file, robot_file, env_file):
+    """Load (env_data, planner_params, gp_params, obs_params, optim_params,
+    robot_data) — same tuple order as ``helpers.load_params``."""
+    planner_data = _load_yaml(param_file)
+    env_data = _load_yaml(env_file)
+    robot_data = _load_yaml(robot_file)
+
+    planner_params = planner_data["gpmp2"]["planner_params"]
+    gp_params = dict(planner_data["gpmp2"]["gp_params"])
+    obs_params = dict(planner_data["gpmp2"]["obs_params"])
+    optim_params = dict(planner_data["gpmp2"]["optim_params"])
+    gp_params["Q_c_inv"] = np.asarray(gp_params["Q_c_inv"], np.float64)
+    return env_data, planner_params, gp_params, obs_params, optim_params, robot_data
+
+
+def load_params_learn(param_file, robot_file, env_file, learn_params_file):
+    """Same as :func:`load_params` plus the learn-params dict
+    (``helpers.load_params_learn``)."""
+    out = load_params(param_file, robot_file, env_file)
+    learn_params = _load_yaml(learn_params_file)
+    return (*out, learn_params)
+
+
+def spec_from_params(planner_params, env_data, robot) -> GraphSpec:
+    return GraphSpec(
+        dof=int(planner_params["dof"]),
+        state_dim=int(planner_params["state_dim"]),
+        total_time_sec=float(planner_params["total_time_sec"]),
+        total_time_step=int(planner_params["total_time_step"]),
+        nlinks=robot.nlinks,
+        x_lims=tuple(float(v) for v in env_data["x_lims"]),
+        y_lims=tuple(float(v) for v in env_data["y_lims"]),
+        non_holonomic=bool(planner_params.get("non_holonomic", False)),
+        use_vel_limits=bool(planner_params.get("use_vel_limits", False)),
+    )
+
+
+def optim_from_params(optim_params) -> OptimConfig:
+    max_iters = optim_params.get("max_iters", 100)
+    if isinstance(max_iters, str):
+        max_iters = 100 if max_iters == "inf" else int(float(max_iters))
+    return OptimConfig(
+        method=optim_params.get("method", "gauss_newton"),
+        reg=float(optim_params.get("reg", 0.0)),
+        max_iters=int(max_iters),
+        tol_err=float(optim_params.get("tol_err", 1e-3)),
+        tol_delta=float(optim_params.get("tol_delta", 1e-4)),
+    )
+
+
+def plan_time_budget(optim_params) -> float:
+    v = optim_params.get("plan_time", "inf")
+    return float(v) if not isinstance(v, str) else float(v)
+
+
+__all__ = [
+    "load_params",
+    "load_params_learn",
+    "spec_from_params",
+    "optim_from_params",
+    "plan_time_budget",
+    "make_robot",
+]

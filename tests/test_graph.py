@@ -1,0 +1,156 @@
+"""Factor evaluation + block assembly vs the dense reference system."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgpmp2_tpu.core import dense, factors, gn, graph
+from dgpmp2_tpu.ops import sdf as sdf_ops, tridiag
+from dgpmp2_tpu.robots import PointRobot2D, PointRobotXYH
+from dgpmp2_tpu.utils.trajectory import straight_line_traj
+
+
+def _toy_problem(rng, spec, robot, b=2, imsize=32):
+    img = np.ones((imsize, imsize))
+    img[10:18, 12:20] = 0.0  # one box obstacle
+    res = (spec.x_lims[1] - spec.x_lims[0]) / imsize
+    sdf = sdf_ops.sdf_from_occupancy(jnp.asarray(img), res=res)
+    sdfb = jnp.broadcast_to(sdf, (b, imsize, imsize))
+
+    d = spec.state_dim
+    start = jnp.zeros((b, d)).at[:, : spec.dof].set(
+        jnp.asarray(rng.uniform(-4, -3, (b, spec.dof)))
+    )
+    goal = jnp.zeros((b, d)).at[:, : spec.dof].set(
+        jnp.asarray(rng.uniform(3, 4, (b, spec.dof)))
+    )
+    params = graph.default_params(
+        spec,
+        robot,
+        start,
+        goal,
+        qc_inv=np.eye(spec.dof),
+        cost_sigma=0.1,
+        epsilon_dist=0.4,
+        k_s=0.01,
+        k_g=0.01,
+        k_d=0.01,
+        k_v=0.01,
+        v_x=1.0,
+        v_y=1.0,
+        dtype=jnp.float64,
+    )
+    th = straight_line_traj(
+        start[:, : spec.dof], goal[:, : spec.dof], spec.total_time_sec, spec.total_time_step
+    )
+    if d > 2 * spec.dof or d != 2 * spec.dof:
+        # XYH state: [x, y, th, vx, vy, om]; straight_line gives 2*dof dims.
+        pass
+    # Perturb so obstacle/hinge terms activate irregularly.
+    th = th + 0.1 * jnp.asarray(rng.standard_normal(th.shape))
+    return params, th, sdfb
+
+
+def test_gp_closed_forms():
+    phi = factors.gp_phi(2, 0.1, jnp.float64)
+    expected = np.eye(4)
+    expected[0, 2] = expected[1, 3] = 0.1
+    np.testing.assert_allclose(np.asarray(phi), expected)
+
+    qc_inv = jnp.asarray([[2.0, 0.5], [0.5, 1.0]])
+    qi = factors.gp_q_inv(qc_inv, 0.1)
+    dt = 0.1
+    np.testing.assert_allclose(np.asarray(qi[:2, :2]), 12.0 * dt**-3 * np.asarray(qc_inv))
+    np.testing.assert_allclose(np.asarray(qi[:2, 2:]), -6.0 * dt**-2 * np.asarray(qc_inv))
+    np.testing.assert_allclose(np.asarray(qi[2:, 2:]), 4.0 * dt**-1 * np.asarray(qc_inv))
+    # Q_inv must be the exact inverse of the analytic Q (gp_factor.py:39-45).
+    qc = jnp.linalg.inv(qc_inv)
+    q = np.block(
+        [
+            [np.asarray(qc) * dt**3 / 3, np.asarray(qc) * dt**2 / 2],
+            [np.asarray(qc) * dt**2 / 2, np.asarray(qc) * dt],
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(qi) @ q, np.eye(4), atol=1e-10)
+
+
+def test_gp_residual_semantics():
+    # "If we start at (x0, y0) with velocity v we end up near x0 + v*dt"
+    # (test/test_gp_factor.py:9).
+    phi = factors.gp_phi(2, 0.5, jnp.float64)
+    th = jnp.asarray([[[0.0, 0.0, 1.0, 2.0], [0.5, 1.0, 1.0, 2.0]]])
+    r = factors.gp_residual(th, phi)
+    np.testing.assert_allclose(np.asarray(r[0, 0]), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "spec_kwargs,robot",
+    [
+        (dict(), PointRobot2D()),
+        (dict(use_vel_limits=True), PointRobot2D()),
+        (
+            dict(dof=3, state_dim=6, non_holonomic=True),
+            PointRobotXYH(),
+        ),
+    ],
+)
+def test_block_assembly_matches_dense(spec_kwargs, robot):
+    rng = np.random.default_rng(7)
+    spec = graph.GraphSpec(total_time_step=12, **spec_kwargs)
+    params, th, sdfb = _toy_problem(rng, spec, robot)
+
+    diag, off, rhs = graph.assemble(spec, robot, params, th, sdfb)
+
+    for i in range(th.shape[0]):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        A, b, K = dense.assemble_dense(spec, robot, p_i, th[i], sdfb[i])
+        atk = A.T @ K
+        lam_ref = atk @ A
+        rhs_ref = atk @ b
+        lam_blk = tridiag.btd_to_dense(diag[i], off[i])
+        np.testing.assert_allclose(
+            np.asarray(lam_blk), np.asarray(lam_ref), rtol=1e-9, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(rhs[i]).ravel(), np.asarray(rhs_ref), rtol=1e-9, atol=1e-9
+        )
+
+
+def test_gn_step_matches_dense_solve():
+    rng = np.random.default_rng(8)
+    spec = graph.GraphSpec(total_time_step=10)
+    robot = PointRobot2D()
+    params, th, sdfb = _toy_problem(rng, spec, robot)
+
+    dth = gn.gn_step(spec, robot, params, th, sdfb, delta=0.1)
+    for i in range(th.shape[0]):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        A, b, K = dense.assemble_dense(spec, robot, p_i, th[i], sdfb[i])
+        dth_ref = dense.solve_dense(A, b, K, 0.1)
+        np.testing.assert_allclose(
+            np.asarray(dth[i]).ravel(), np.asarray(dth_ref), rtol=1e-7, atol=1e-9
+        )
+
+
+def test_graph_error_matches_dense_quadratic():
+    # At the linearization point the weighted nonlinear error equals the
+    # dense ½ bᵀKb / M since residuals are evaluated exactly.
+    rng = np.random.default_rng(9)
+    spec = graph.GraphSpec(total_time_step=9)
+    robot = PointRobot2D()
+    params, th, sdfb = _toy_problem(rng, spec, robot)
+    err = graph.graph_error(spec, robot, params, th, sdfb)
+    for i in range(th.shape[0]):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        A, b, K = dense.assemble_dense(spec, robot, p_i, th[i], sdfb[i])
+        ref = 0.5 * float(b @ K @ b) / spec.M
+        np.testing.assert_allclose(float(err[i]), ref, rtol=1e-9)
+
+
+def test_m_dimension_bookkeeping():
+    # Default config: T=100, D=4, L=1 -> M=509, N=404 (plan_layer.py:43-46).
+    spec = graph.GraphSpec()
+    assert spec.M == 509
+    assert spec.N == 404
+    spec_nh = graph.GraphSpec(dof=3, state_dim=6, non_holonomic=True)
+    assert spec_nh.M == 6 * 102 + 101 + 101
