@@ -1,0 +1,233 @@
+"""Learned differentiable planner: CNN + head predicting factor covariances.
+
+The learned-planning composition of the reference
+(``DiffGPMP2Planner.step`` with ``learn_params``,
+``diff_gpmp2/gpmp2/diff_gpmp2_planner.py:176-211``): per GN iteration a CNN
+encodes the ``(im, sdf)`` stack, a feed-forward or recurrent head maps
+(features ⊕ trajectory positions) to a flat vector, and
+:mod:`dgpmp2_tpu.learn.covariances` decodes it into PSD factor covariances
+that drive the block GN step.  Gradients flow through the GN solve into the
+network (implicit-adjoint VJP of the block-tridiagonal solve).
+
+All state is explicit: flax variables (params + batch_stats), optional RNN
+hidden carry, and the fixed external covariances used for ``err_ext``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dgpmp2_tpu.core import gn, graph
+from dgpmp2_tpu.learn import covariances as cov_lib
+from dgpmp2_tpu.models.conv_encoder import ConvEncoder
+from dgpmp2_tpu.models.cov_head import FeedForwardHead, RecurrentHead, traj_positions_flat
+
+
+@dataclasses.dataclass(frozen=True)
+class LearnedPlannerConfig:
+    """Static learned-planner options (learn-YAML ``dgpmp2``/``model``
+    sections, SURVEY.md §5.6)."""
+
+    dynamics_mode: str = "diag_identity"
+    learn_eps: bool = False
+    sdf_predict: bool = True  # feed (im, sdf) vs im only
+    fixed_conv: bool = False  # conv features computed once per problem
+    model_type: str = "feed_forward"  # feed_forward | rnn_gru | rnn_lstm
+    hidden_dim: int = 64
+    num_hidden: int = 1
+    dropout_prob: float = 0.5
+    dtype: Any = jnp.float32
+
+
+class LearnedDiffGPMP2Planner:
+    """Bundles ConvEncoder + covariance head + the block GN engine."""
+
+    def __init__(
+        self,
+        spec: graph.GraphSpec,
+        robot,
+        optim_cfg: gn.OptimConfig,
+        learn_cfg: LearnedPlannerConfig,
+    ):
+        self.spec = spec
+        self.robot = robot
+        self.cfg = optim_cfg
+        self.learn_cfg = learn_cfg
+        self.out_dim = cov_lib.out_dim(spec, learn_cfg.dynamics_mode,
+                                       learn_cfg.learn_eps)
+        self.conv = ConvEncoder(dtype=learn_cfg.dtype)
+        if learn_cfg.model_type == "feed_forward":
+            self.head = FeedForwardHead(
+                out_dim=self.out_dim, dropout_prob=learn_cfg.dropout_prob,
+                dtype=learn_cfg.dtype,
+            )
+        else:
+            self.head = RecurrentHead(
+                out_dim=self.out_dim,
+                hidden_dim=learn_cfg.hidden_dim,
+                num_hidden=learn_cfg.num_hidden,
+                cell_type="lstm" if learn_cfg.model_type == "rnn_lstm" else "gru",
+                dtype=learn_cfg.dtype,
+            )
+
+    @property
+    def recurrent(self) -> bool:
+        return self.learn_cfg.model_type != "feed_forward"
+
+    # -- variable init -----------------------------------------------------
+
+    def init_variables(self, rng, im_stack, th):
+        """Initialize flax variables; im_stack (B, H, W, C), th (B, T+1, D)."""
+        r1, r2, r3 = jax.random.split(rng, 3)
+        conv_vars = self.conv.init(r1, im_stack, train=False)
+        feats = self.conv.apply(conv_vars, im_stack, train=False)
+        pos = traj_positions_flat(th)
+        if self.recurrent:
+            hidden = self.init_hidden(r3, th.shape[0], feats.shape[-1] + pos.shape[-1])
+            head_vars = self.head.init(r2, feats, pos, hidden)
+        else:
+            head_vars = self.head.init(r2, feats, pos, train=False)
+        return {"conv": conv_vars, "head": head_vars}
+
+    def init_hidden(self, rng, batch_size, input_len):
+        """Zero RNN carry; ``input_len`` = conv-feature len + (T+1)·2."""
+        if not self.recurrent:
+            return None
+        return self.head.initialize_carry(rng, batch_size, input_len)
+
+    # -- forward pieces ------------------------------------------------------
+
+    def stack_inputs(self, im, sdf):
+        """Build the (B, H, W, C) conv input per ``sdf_predict``
+        (``diff_gpmp2_planner.py:183-186``)."""
+        if self.learn_cfg.sdf_predict:
+            return jnp.stack([im, sdf], axis=-1).astype(self.learn_cfg.dtype)
+        return im[..., None].astype(self.learn_cfg.dtype)
+
+    def conv_features(self, variables, im_stack, train=False, mutable=False):
+        return self.conv.apply(
+            variables["conv"], im_stack, train=train,
+            mutable=["batch_stats"] if mutable else False,
+        )
+
+    def predict(
+        self,
+        variables,
+        th,
+        feats,
+        hidden=None,
+        train: bool = False,
+        rng=None,
+        mutable: bool = False,
+    ):
+        """Head forward + covariance decode.
+
+        Returns (covs: DecodedCovariances, new_hidden, new_head_state).
+        """
+        pos = traj_positions_flat(th).astype(self.learn_cfg.dtype)
+        kwargs = {}
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        mut = ["batch_stats"] if mutable else False
+        if self.recurrent:
+            (out, new_hidden), new_state = _apply(
+                self.head, variables["head"], mut, feats, pos, hidden, **kwargs
+            )
+        else:
+            out, new_state = _apply(
+                self.head, variables["head"], mut, feats, pos, train=train, **kwargs
+            )
+            new_hidden = None
+        covs = cov_lib.decode(
+            out.astype(jnp.float32), self.spec,
+            self.learn_cfg.dynamics_mode, self.learn_cfg.learn_eps,
+        )
+        return covs, new_hidden, new_state
+
+    def graph_params(self, params_fix: graph.GraphParams, covs) -> graph.GraphParams:
+        """Apply decoded covariances onto the fixed-parameter template."""
+        from dgpmp2_tpu.core import factors
+
+        p = params_fix
+        if covs.q_inv is not None:
+            p = p.replace(q_inv=covs.q_inv)
+        elif covs.qc_inv is not None:
+            p = p.replace(q_inv=factors.gp_q_inv(covs.qc_inv, self.spec.dt))
+        p = p.replace(obs_inv=covs.obs_inv)
+        if covs.eps is not None:
+            p = p.replace(eps=covs.eps)
+        return p
+
+    # -- planner steps -------------------------------------------------------
+
+    def step(
+        self,
+        variables,
+        params_fix: graph.GraphParams,
+        th,
+        sdf,
+        feats,
+        hidden=None,
+        train: bool = False,
+        rng=None,
+    ):
+        """One learned GN iteration (``diff_gpmp2_planner.py:176-211``).
+
+        Returns (dtheta, err, err_ext, params_used, new_hidden).
+        ``feats`` are the conv features (precompute once when
+        ``fixed_conv``; recompute per step otherwise).
+        """
+        covs, new_hidden, _ = self.predict(
+            variables, th, feats, hidden, train=train, rng=rng
+        )
+        params = self.graph_params(params_fix, covs)
+        dth = gn.gn_step(
+            self.spec, self.robot, params, th, sdf,
+            delta=jnp.asarray(self.cfg.reg, th.dtype),
+        )
+        err = jax.lax.stop_gradient(
+            graph.graph_error(self.spec, self.robot, params, th, sdf)
+        )
+        err_ext = graph.graph_error(
+            self.spec, self.robot, params, th, sdf,
+            q_inv=params_fix.q_inv, obs_inv=params_fix.obs_inv,
+        )
+        return dth, err, err_ext, params, new_hidden
+
+    def plan(
+        self,
+        variables,
+        params_fix: graph.GraphParams,
+        th_init,
+        sdf,
+        im,
+        max_iters: Optional[int] = None,
+        hidden=None,
+    ):
+        """Full unrolled learned plan: covariances re-predicted every GN
+        iteration (``diff_gpmp2_planner.py:104-166``), compiled as one scan."""
+        iters = max_iters or self.cfg.max_iters
+        im_stack = self.stack_inputs(im, sdf)
+        feats = self.conv_features(variables, im_stack, train=False)
+
+        def body(carry, _):
+            th, hid = carry
+            dth, err, err_ext, _, hid = self.step(
+                variables, params_fix, th, sdf, feats, hid, train=False
+            )
+            return (th + dth, hid), (err, err_ext)
+
+        (th, hidden), (errs, errs_ext) = jax.lax.scan(
+            body, (th_init, hidden), None, length=iters
+        )
+        return th, errs, errs_ext, hidden
+
+
+def _apply(module, variables, mutable, *args, **kwargs):
+    out = module.apply(variables, *args, mutable=mutable, **kwargs)
+    if mutable:
+        return out
+    return out, None

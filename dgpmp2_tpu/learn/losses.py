@@ -1,0 +1,67 @@
+"""Training losses for the learned planner.
+
+Rebuild of ``one_step_loss`` (``diff_gpmp2/learning/train_planner.py:
+75-120``): per GN step the loss compares the *step update* against the
+expert's remaining delta, plus externally-weighted graph terms:
+
+    expert_loss = mean‖dθ_pos - (θ*_pos - θ_pos)‖² +
+                  λ_vel · mean‖dθ_vel - (θ*_vel - θ_vel)‖²
+    ext_loss    = mean(err_gp) + mean(err_sg) + λ_obs · mean(err_obs)
+    total       = expert_loss + w_ext · ext_loss
+
+(The reference calls it with ``th_curr = dtheta`` and ``th_opt = th_opt -
+th_curr`` — i.e. the MSE is over the update, ``train_planner.py:333,348``.)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class LossWeights(NamedTuple):
+    vel_loss_lambda: float = 0.1
+    ext_obs_lambda: float = 1.0
+    ext_loss_weight: float = 0.0
+
+
+class LossTerms(NamedTuple):
+    total: jnp.ndarray
+    pos: jnp.ndarray
+    vel: jnp.ndarray
+    gp: jnp.ndarray
+    sg: jnp.ndarray
+    obs: jnp.ndarray
+    ext: jnp.ndarray
+
+
+def one_step_loss(
+    dtheta: jnp.ndarray,
+    target_delta: jnp.ndarray,
+    err_sg: jnp.ndarray,
+    err_gp: jnp.ndarray,
+    err_obs: jnp.ndarray,
+    weights: LossWeights,
+    dof: int,
+) -> LossTerms:
+    """Args:
+      dtheta: (B, T+1, D) the GN update.
+      target_delta: (B, T+1, D) expert-remaining delta ``th_opt - th_curr``.
+      err_sg/err_gp/err_obs: (B,) unweighted graph errors at ``th_new``
+        (:func:`dgpmp2_tpu.core.graph.unweighted_errors`).
+    """
+    diff = dtheta - target_delta
+    pos = jnp.mean(jnp.sum(diff[..., :dof] ** 2, axis=-1))
+    vel = jnp.mean(jnp.sum(diff[..., dof:] ** 2, axis=-1))
+    expert = pos + weights.vel_loss_lambda * vel
+    gp = jnp.mean(err_gp)
+    sg = jnp.mean(err_sg)
+    obs = jnp.mean(err_obs)
+    ext = gp + sg + weights.ext_obs_lambda * obs
+    total = expert + weights.ext_loss_weight * ext
+    return LossTerms(total=total, pos=pos, vel=vel, gp=gp, sg=sg, obs=obs, ext=ext)
+
+
+def mse_traj(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """``learn_utils.mse_traj``: sum over state dim, mean over the rest."""
+    return jnp.mean(jnp.sum((pred - target) ** 2, axis=-1))

@@ -1,0 +1,66 @@
+"""Data layer: generators, round-trip through the reference disk format."""
+import numpy as np
+import pytest
+
+from dgpmp2_tpu.core import gn, graph
+from dgpmp2_tpu.data import dataset as ds
+from dgpmp2_tpu.data import generate, obstacles
+from dgpmp2_tpu.robots import PointRobot2D
+
+
+@pytest.mark.parametrize("family", obstacles.FAMILIES)
+def test_obstacle_families(family):
+    rng = np.random.default_rng(0)
+    im = obstacles.make_map(family, rng, 64, pts=[(5, 5), (60, 60)],
+                            patch_pts=4, patch_obs=2)
+    assert im.shape == (64, 64)
+    assert set(np.unique(im)).issubset({0.0, 1.0})
+    assert np.any(im == 0.0)  # has obstacles
+    assert np.mean(im) > 0.3  # mostly free space
+
+
+def test_generate_and_load_roundtrip(tmp_path):
+    spec = graph.GraphSpec(total_time_step=20)
+    robot = PointRobot2D()
+    cfg = gn.OptimConfig(reg=0.1, max_iters=25)
+    cov = dict(qc_inv=np.eye(2), cost_sigma=0.1, epsilon_dist=0.4,
+               k_s=0.01, k_g=0.01)
+    rng = np.random.default_rng(3)
+    out = str(tmp_path / "train")
+    generate.generate_split(out, num_envs=2, probs_per_env=2, family="forest",
+                            im_size=64, rng=rng, spec=spec, robot=robot,
+                            cfg=cfg, cov_scalars=cov)
+
+    dset = ds.PlanningDataset(str(tmp_path), mode="train")
+    assert len(dset) == 4
+    s = dset[1]
+    assert s["im"].shape == (64, 64)
+    assert s["sdf"].shape == (64, 64)
+    assert s["th_opt"].shape == (21, 4)
+    # Expert trajectories anchored to their endpoints.
+    np.testing.assert_allclose(s["th_opt"][0, :2], s["start"][:2], atol=0.05)
+    np.testing.assert_allclose(s["th_opt"][-1, :2], s["goal"][:2], atol=0.05)
+
+    # Multi-root concat + batching.
+    multi = ds.PlanningDatasetMulti([str(tmp_path)], mode="train")
+    tr, va = ds.train_valid_split(len(multi), 0.25, np.random.default_rng(0))
+    assert len(tr) == 3 and len(va) == 1
+    batches = list(ds.as_batches(multi, tr, batch_size=3))
+    assert len(batches) == 1
+    assert batches[0]["im"].shape == (3, 64, 64)
+    assert batches[0]["th_opt"].shape == (3, 21, 4)
+
+
+def test_image_png_roundtrip_thresholding(tmp_path):
+    # The loader must reproduce the exact binary map through PNG encoding
+    # (reference thresholds at 0.75, planning_dataset.py:58).
+    rng = np.random.default_rng(1)
+    im = obstacles.make_map("multi_obs", rng, 32)
+    ds.save_env(str(tmp_path), 0, im, np.zeros((32, 32), np.float32))
+    ds.save_meta(str(tmp_path), 1, 1, 32)
+    import matplotlib.pyplot as plt
+
+    loaded = plt.imread(str(tmp_path / "im_sdf" / "0_im.png"))
+    if loaded.ndim > 2:
+        loaded = loaded[..., :3] @ np.array([0.299, 0.587, 0.114])
+    np.testing.assert_array_equal(np.asarray(loaded > 0.75, float), im)

@@ -1,0 +1,144 @@
+"""Learned-planner stack: covariance decoding, models, training step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgpmp2_tpu.core import gn, graph
+from dgpmp2_tpu.learn import covariances as cov_lib
+from dgpmp2_tpu.learn.learned_planner import LearnedDiffGPMP2Planner, LearnedPlannerConfig
+from dgpmp2_tpu.learn.losses import LossWeights
+from dgpmp2_tpu.learn.train import TrainConfig, init_train_state, make_optimizer, make_train_step
+from dgpmp2_tpu.ops import sdf as sdf_ops
+from dgpmp2_tpu.robots import PointRobot2D
+from dgpmp2_tpu.utils.trajectory import straight_line_traj
+
+SPEC = graph.GraphSpec(total_time_step=10)
+ROBOT = PointRobot2D()
+
+
+@pytest.mark.parametrize("mode", cov_lib.MODES)
+@pytest.mark.parametrize("learn_eps", [False, True])
+def test_decode_shapes_and_psd(mode, learn_eps):
+    d = cov_lib.out_dim(SPEC, mode, learn_eps)
+    rng = np.random.default_rng(0)
+    out = jnp.asarray(rng.standard_normal((3, d)))
+    covs = cov_lib.decode(out, SPEC, mode, learn_eps)
+    assert covs.obs_inv.shape == (3, SPEC.num_traj_states, 1, 1)
+    assert np.all(np.asarray(covs.obs_inv) >= 0)
+    if mode == "q_full":
+        assert covs.q_inv.shape == (3, SPEC.num_gp_factors, 4, 4)
+        eig = np.linalg.eigvalsh(np.asarray(covs.q_inv))
+        assert np.all(eig >= -1e-10)
+    elif mode != "fix_dynamics":
+        assert covs.qc_inv.shape == (3, SPEC.num_gp_factors, 2, 2)
+        eig = np.linalg.eigvalsh(np.asarray(covs.qc_inv))
+        assert np.all(eig >= -1e-10)
+    if learn_eps:
+        assert covs.eps.shape == (3, SPEC.num_traj_states, 1)
+        assert np.all(np.asarray(covs.eps) >= 0)
+
+
+def test_out_dim_matches_reference_bookkeeping():
+    # diff_gpmp2_planner.py:63-83 with T=10 -> num_gp=10, num_obs=11, L=1.
+    assert cov_lib.out_dim(SPEC, "fix_dynamics") == 11
+    assert cov_lib.out_dim(SPEC, "diag_identity") == 10 + 11
+    assert cov_lib.out_dim(SPEC, "qc_full") == 20 + 11
+    assert cov_lib.out_dim(SPEC, "q_full") == 40 + 11
+    assert cov_lib.out_dim(SPEC, "diag_identity", learn_eps=True) == 10 + 22
+
+
+def _toy_batch(b=2, imsize=32):
+    rng = np.random.default_rng(1)
+    img = np.ones((b, imsize, imsize), np.float32)
+    img[:, 12:20, 12:20] = 0.0
+    sdf = sdf_ops.sdf_from_occupancy(
+        jnp.asarray(img), res=10.0 / imsize
+    ).astype(jnp.float32)
+    start = jnp.zeros((b, 4)).at[:, :2].set(jnp.asarray([[-4.0, -4.0]] * b))
+    goal = jnp.zeros((b, 4)).at[:, :2].set(jnp.asarray([[4.0, 4.0]] * b))
+    th_opt = straight_line_traj(start[:, :2], goal[:, :2], 10.0, SPEC.total_time_step)
+    cov_scalars = dict(qc_inv=np.eye(2), cost_sigma=0.1, epsilon_dist=0.4,
+                       k_s=0.01, k_g=0.01)
+    batch = {
+        "im": jnp.asarray(img), "sdf": sdf,
+        "start": start.astype(jnp.float32), "goal": goal.astype(jnp.float32),
+        "th_opt": th_opt.astype(jnp.float32), "cov_scalars": cov_scalars,
+    }
+    return batch
+
+
+def _make_planner(model_type="feed_forward", mode="diag_identity"):
+    cfg = gn.OptimConfig(reg=0.1, max_iters=10)
+    lcfg = LearnedPlannerConfig(dynamics_mode=mode, model_type=model_type,
+                                hidden_dim=16)
+    return LearnedDiffGPMP2Planner(SPEC, ROBOT, cfg, lcfg)
+
+
+@pytest.mark.parametrize("model_type", ["feed_forward", "rnn_lstm"])
+def test_learned_step_runs_and_grads_flow(model_type):
+    planner = _make_planner(model_type)
+    batch = _toy_batch()
+    rng = jax.random.PRNGKey(0)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    th0 = batch["th_opt"]
+    variables = planner.init_variables(rng, im_stack, th0)
+    params_fix = graph.default_params(
+        SPEC, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+
+    feats = planner.conv_features(variables, im_stack)
+    hidden = None
+    if planner.recurrent:
+        hidden = planner.init_hidden(rng, 2, feats.shape[-1] + th0.shape[1] * 2)
+
+    def loss(variables):
+        dth, err, err_ext, _, _ = planner.step(
+            variables, params_fix, th0, batch["sdf"], feats, hidden
+        )
+        return jnp.sum(dth**2) + jnp.sum(err_ext)
+
+    val, grads = jax.value_and_grad(loss)(variables)
+    assert np.isfinite(float(val))
+    leaves = jax.tree.leaves(grads)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
+    assert total > 0.0  # gradients reach network weights through the solve
+
+
+def test_learned_plan_unrolls():
+    planner = _make_planner()
+    batch = _toy_batch()
+    rng = jax.random.PRNGKey(1)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    th0 = batch["th_opt"]
+    variables = planner.init_variables(rng, im_stack, th0)
+    params_fix = graph.default_params(
+        SPEC, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+    th, errs, errs_ext, _ = planner.plan(
+        variables, params_fix, th0, batch["sdf"], batch["im"], max_iters=5
+    )
+    assert th.shape == th0.shape
+    assert errs.shape == (5, 2)
+    assert np.all(np.isfinite(np.asarray(th)))
+
+
+def test_train_step_decreases_loss():
+    planner = _make_planner()
+    batch = _toy_batch()
+    tx = make_optimizer("adam", {"alpha": 1e-3})
+    tcfg = TrainConfig(T=4, tk=2, use_inter_loss=True, remat=True)
+    train_step = make_train_step(planner, tx, LossWeights(ext_loss_weight=0.01), tcfg)
+
+    rng = jax.random.PRNGKey(2)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    state = init_train_state(planner, tx, rng, im_stack, batch["th_opt"])
+
+    losses = []
+    for i in range(5):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # overfits the fixed toy batch
