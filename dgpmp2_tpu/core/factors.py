@@ -112,7 +112,7 @@ def hinge_obstacle_residual(
     """
     t, l = centers.shape[-3], centers.shape[-2]
     pts = centers.reshape(*centers.shape[:-3], t * l, centers.shape[-1])
-    d, grad = sdf_ops.bilinear_lookup(sdf, pts, res, x_lims, y_lims)
+    d, grad = sdf_ops.lookup(sdf, pts, res, x_lims, y_lims)
     d = d.reshape(*centers.shape[:-3], t, l)
     grad = grad.reshape(*centers.shape[:-1], centers.shape[-1])
 

@@ -95,7 +95,7 @@ def gn_step(
     """
     diag, off, rhs = graph_lib.assemble(spec, robot, params, th, sdf)
     diag, off, rhs = damped_system(diag, off, rhs, delta, trust_region)
-    dth = tridiag.btd_solve(diag, off, rhs)
+    dth = tridiag.btd_solve_auto(diag, off, rhs)
     return dth
 
 
@@ -138,47 +138,65 @@ def plan(
     dtype = th_init.dtype
     lm = cfg.method == "lm"
 
-    def weighted_err(th):
+    def residuals(th):
+        return graph_lib.eval_residuals(spec, robot, params, th, sdf)
+
+    def weighted_err(res):
         # no-grad semantics of plan_layer.error_batch (plan_layer.py:275)
         return lax.stop_gradient(
-            graph_lib.graph_error(spec, robot, params, th, sdf)
+            graph_lib.error_from_residuals(spec, params, res)
         )
 
-    def ext_err(th):
-        return graph_lib.graph_error(
-            spec,
-            robot,
-            params,
-            th,
-            sdf,
-            q_inv=params_fix.q_inv,
-            obs_inv=params_fix.obs_inv,
+    def ext_err(res):
+        return graph_lib.error_from_residuals(
+            spec, params, res,
+            q_inv=params_fix.q_inv, obs_inv=params_fix.obs_inv,
         )
 
-    err0 = weighted_err(th_init)
+    def select(mask, a, b_):
+        """Per-problem pytree select (mask (B,), broadcast to leaf rank)."""
+        def pick(x, y):
+            m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+            return jnp.where(m, x, y)
+
+        return jax.tree.map(pick, a, b_)
+
+    # The factor graph is evaluated ONCE per iteration: the same residuals
+    # drive assembly, the error trace, and the external error (the
+    # reference recomputes them >=3x per step, plan_layer.py:95-98).
+    res0 = residuals(th_init)
+    err0 = weighted_err(res0)
 
     def body(carry, _):
-        th, conv, err_old, lam, iters = carry
+        th, res, err_old, conv, lam, iters = carry
         delta = lam if lm else jnp.asarray(cfg.reg, dtype)
-        dth = gn_step(spec, robot, params, th, sdf, delta, trust_region=lm)
-        th_new = th + dth
-        err_new = weighted_err(th_new)
+        diag, off, rhs = graph_lib.assemble_from_residuals(
+            spec, params, res, dtype=dtype
+        )
+        diag, off, rhs = damped_system(diag, off, rhs, delta, trust_region=lm)
+        dth = tridiag.btd_solve_auto(diag, off, rhs)
+        th_prop = th + dth
+        res_prop = residuals(th_prop)
+        err_prop = weighted_err(res_prop)
+        # LM accept/reject (gpmp2_planner.py:92-103); GN always accepts.
+        accept = (err_prop < err_old) if lm else jnp.ones((b,), bool)
+        take = accept & ~conv
+        th_next = jnp.where(take[:, None, None], th_prop, th)
+        res_next = select(take, res_prop, res)
+        err_next = jnp.where(take, err_prop, err_old)
         if lm:
-            accept = err_new < err_old
-            th_new = jnp.where(accept[:, None, None], th_new, th)
-            err_new = jnp.where(accept, err_new, err_old)
-            lam = jnp.where(accept, lam / 10.0, lam * 10.0)
-        # Freeze problems that had already converged.
-        th_next = jnp.where(conv[:, None, None], th, th_new)
-        err_next = jnp.where(conv, err_old, err_new)
+            lam = jnp.where(conv, lam, jnp.where(accept, lam / 10.0, lam * 10.0))
         conv_next = conv | _converged(dth, err_next - err_old, cfg)
         iters = iters + (~conv).astype(jnp.int32)
-        err_ext = ext_err(th_next)
-        return (th_next, conv_next, err_next, lam, iters), (err_next, err_ext)
+        err_ext = ext_err(res_next)  # residual reuse: no extra SDF lookup
+        return (th_next, res_next, err_next, conv_next, lam, iters), (
+            err_next, err_ext,
+        )
 
     lam0 = jnp.full((b,), cfg.lm_lambda_init, dtype)
-    init = (th_init, jnp.zeros((b,), bool), err0, lam0, jnp.zeros((b,), jnp.int32))
-    (th, _, err_final, _, iters), (errs, errs_ext) = lax.scan(
+    init = (th_init, res0, err0, jnp.zeros((b,), bool), lam0,
+            jnp.zeros((b,), jnp.int32))
+    (th, _, err_final, _, _, iters), (errs, errs_ext) = lax.scan(
         body, init, None, length=cfg.max_iters, unroll=unroll
     )
     return PlanResult(

@@ -120,18 +120,62 @@ class GraphParams(struct.PyTreeNode):
     v_lim: Optional[jnp.ndarray] = None
 
 
-def assemble(
+class FactorResiduals(struct.PyTreeNode):
+    """All factor residuals/Jacobians at one linearization point.
+
+    Evaluating these is the expensive part of an iteration (the SDF lookup
+    in particular); the reference re-evaluates the whole factor graph three
+    or more times per GN step (system build + ``error_batch`` +
+    ``error_ext_batch``, ``plan_layer.py:95-98``).  Here they are computed
+    once and shared by assembly and every error functional.
+    """
+
+    r_gp: jnp.ndarray  # (B, T, D)
+    r_s: jnp.ndarray  # (B, D)
+    r_g: jnp.ndarray  # (B, D)
+    r_obs: jnp.ndarray  # (B, T+1, L)
+    h_obs: jnp.ndarray  # (B, T+1, L, D)
+    r_dyn: Optional[jnp.ndarray] = None  # (B, T+1)
+    h_dyn: Optional[jnp.ndarray] = None  # (B, T+1, D)
+    r_vel: Optional[jnp.ndarray] = None  # (B, T+1, dof)
+    h_vel: Optional[jnp.ndarray] = None  # (B, T+1, dof, D)
+
+
+def eval_residuals(
     spec: GraphSpec,
     robot: RobotModel,
     params: GraphParams,
     th: jnp.ndarray,
     sdf: jnp.ndarray,
-):
-    """Assemble block-tridiagonal GN normal equations at linearization ``th``.
+) -> FactorResiduals:
+    """Evaluate every factor once at ``th`` (one SDF lookup total)."""
+    dtype = th.dtype
+    phi = factors.gp_phi(spec.dof, spec.dt, dtype)
+    r_gp = factors.gp_residual(th, phi)
+    r_s = factors.prior_residual(params.start, th[..., 0, :])
+    r_g = factors.prior_residual(params.goal, th[..., -1, :])
+    centers, jac_fk = robot.fk(th)
+    r_obs, h_obs = factors.hinge_obstacle_residual(
+        centers, jac_fk, robot.radii_array(dtype), params.eps, sdf,
+        spec.res(sdf.shape[-1]), spec.x_lims, spec.y_lims,
+    )
+    r_dyn = h_dyn = r_vel = h_vel = None
+    if spec.non_holonomic:
+        r_dyn, h_dyn = factors.nonholonomic_residual(th)
+    if spec.use_vel_limits:
+        r_vel, h_vel = factors.velocity_limit_residual(th, params.v_lim, spec.dof)
+    return FactorResiduals(r_gp=r_gp, r_s=r_s, r_g=r_g, r_obs=r_obs,
+                           h_obs=h_obs, r_dyn=r_dyn, h_dyn=h_dyn,
+                           r_vel=r_vel, h_vel=h_vel)
 
-    Args:
-      th:  (B, T+1, D) current trajectories.
-      sdf: (B, H, W) signed distance fields (metric units).
+
+def assemble_from_residuals(
+    spec: GraphSpec,
+    params: GraphParams,
+    res: FactorResiduals,
+    dtype=None,
+):
+    """Assemble block-tridiagonal GN normal equations from residuals.
 
     Returns:
       diag (B, T+1, D, D), off (B, T, D, D), rhs (B, T+1, D) such that the
@@ -140,13 +184,13 @@ def assemble(
     """
     d = spec.state_dim
     tn = spec.num_traj_states
-    dtype = th.dtype
-    batch = th.shape[:-2]
+    dtype = res.r_gp.dtype if dtype is None else dtype
+    batch = res.r_gp.shape[:-2]
 
     phi = factors.gp_phi(spec.dof, spec.dt, dtype)
 
     # --- GP factors (the only inter-state coupling) ---------------------
-    r_gp = factors.gp_residual(th, phi)  # (B, T, D)
+    r_gp = res.r_gp  # (B, T, D)
     q_inv = params.q_inv  # (B, T, D, D)
     # H1 = Φ (w.r.t. x_i), H2 = -I (w.r.t. x_{i+1}):
     #   diag_i   += Φᵀ Q⁻¹ Φ ;  diag_{i+1} += Q⁻¹
@@ -161,32 +205,21 @@ def assemble(
     rhs = rhs.at[..., 1:, :].add(-_einsum("...tij,...tj->...ti", q_inv, r_gp))
 
     # --- Start / goal priors (H = I) ------------------------------------
-    r_s = factors.prior_residual(params.start, th[..., 0, :])
-    r_g = factors.prior_residual(params.goal, th[..., -1, :])
+    r_s, r_g = res.r_s, res.r_g
     diag = diag.at[..., 0, :, :].add(params.ks_inv)
     diag = diag.at[..., -1, :, :].add(params.kg_inv)
     rhs = rhs.at[..., 0, :].add(_einsum("...ij,...j->...i", params.ks_inv, r_s))
     rhs = rhs.at[..., -1, :].add(_einsum("...ij,...j->...i", params.kg_inv, r_g))
 
     # --- Obstacle factors (unary) ----------------------------------------
-    centers, jac_fk = robot.fk(th)
-    r_obs, h_obs = factors.hinge_obstacle_residual(
-        centers,
-        jac_fk,
-        robot.radii_array(dtype),
-        params.eps,
-        sdf,
-        spec.res(sdf.shape[-1]),
-        spec.x_lims,
-        spec.y_lims,
-    )  # (B, T+1, L), (B, T+1, L, D)
+    r_obs, h_obs = res.r_obs, res.h_obs  # (B, T+1, L), (B, T+1, L, D)
     lam_h = _einsum("...lk,...ki->...li", params.obs_inv, h_obs)
     diag = diag + _einsum("...li,...lj->...ij", h_obs, lam_h)
     rhs = rhs + _einsum("...li,...l->...i", lam_h, r_obs)
 
     # --- Nonholonomic constraint (unary, scalar residual) ----------------
     if spec.non_holonomic:
-        r_dyn, h_dyn = factors.nonholonomic_residual(th)  # (B,T+1), (B,T+1,D)
+        r_dyn, h_dyn = res.r_dyn, res.h_dyn  # (B,T+1), (B,T+1,D)
         w = params.dyn_inv  # (B, T+1)
         diag = diag + w[..., None, None] * (
             h_dyn[..., :, None] * h_dyn[..., None, :]
@@ -195,12 +228,57 @@ def assemble(
 
     # --- Velocity limits (unary, dof residuals) --------------------------
     if spec.use_vel_limits:
-        r_vel, h_vel = factors.velocity_limit_residual(th, params.v_lim, spec.dof)
+        r_vel, h_vel = res.r_vel, res.h_vel
         lam_hv = _einsum("...lk,...ki->...li", params.vel_inv, h_vel)
         diag = diag + _einsum("...li,...lj->...ij", h_vel, lam_hv)
         rhs = rhs + _einsum("...li,...l->...i", lam_hv, r_vel)
 
     return diag, off, rhs
+
+
+def assemble(
+    spec: GraphSpec,
+    robot: RobotModel,
+    params: GraphParams,
+    th: jnp.ndarray,
+    sdf: jnp.ndarray,
+):
+    """Assemble block-tridiagonal GN normal equations at linearization ``th``."""
+    res = eval_residuals(spec, robot, params, th, sdf)
+    return assemble_from_residuals(spec, params, res, dtype=th.dtype)
+
+
+def error_from_residuals(
+    spec: GraphSpec,
+    params: GraphParams,
+    res: FactorResiduals,
+    q_inv: Optional[jnp.ndarray] = None,
+    obs_inv: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Total weighted factor-graph error from precomputed residuals.
+
+    ``err = (Σ_f ½ r_fᵀ Λ_f r_f) / M`` over all factors
+    (``plan_layer.py:273-345``).  Pass ``q_inv`` / ``obs_inv`` to override
+    the GP/obstacle weights — that is how ``error_ext`` pins *fixed*
+    external covariances so learned weights can't game the metric
+    (``plan_layer.py:78-81,310-345``).  Returns (B,).
+    """
+    q_inv = params.q_inv if q_inv is None else q_inv
+    obs_inv = params.obs_inv if obs_inv is None else obs_inv
+
+    err = 0.5 * _einsum("...i,...ij,...j->...", res.r_s, params.ks_inv, res.r_s)
+    err += 0.5 * _einsum("...i,...ij,...j->...", res.r_g, params.kg_inv, res.r_g)
+    err += 0.5 * _einsum("...ti,...tij,...tj->...", res.r_gp, q_inv, res.r_gp)
+    err += 0.5 * _einsum("...tl,...tlk,...tk->...", res.r_obs, obs_inv, res.r_obs)
+    if spec.non_holonomic:
+        err += 0.5 * _einsum(
+            "...t,...t->...", params.dyn_inv * res.r_dyn, res.r_dyn
+        )
+    if spec.use_vel_limits:
+        err += 0.5 * _einsum(
+            "...tl,...tlk,...tk->...", res.r_vel, params.vel_inv, res.r_vel
+        )
+    return err / spec.M
 
 
 def graph_error(
@@ -212,48 +290,23 @@ def graph_error(
     q_inv: Optional[jnp.ndarray] = None,
     obs_inv: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Total weighted factor-graph error, normalized by M.
+    """Total weighted factor-graph error at ``th``, normalized by M."""
+    res = eval_residuals(spec, robot, params, th, sdf)
+    return error_from_residuals(spec, params, res, q_inv, obs_inv)
 
-    ``err = (Σ_f ½ r_fᵀ Λ_f r_f) / M`` over all factors
-    (``plan_layer.py:273-345``).  Pass ``q_inv`` / ``obs_inv`` to override
-    the GP/obstacle weights — that is how ``error_ext`` pins *fixed*
-    external covariances so learned weights can't game the metric
-    (``plan_layer.py:78-81,310-345``).  Returns (B,).
+
+def unweighted_errors_from_residuals(res: FactorResiduals):
+    """Unweighted per-term errors for task losses (``plan_layer.py:374-388``).
+
+    Returns ``(err_sg, err_gp, err_obs)`` each shaped (B,):
+      err_sg  = ½‖r_start‖² + ½‖r_goal‖²
+      err_gp  = mean_t ½‖r_gp,t‖²
+      err_obs = mean_t ½‖r_obs,t‖²
     """
-    dtype = th.dtype
-    phi = factors.gp_phi(spec.dof, spec.dt, dtype)
-    q_inv = params.q_inv if q_inv is None else q_inv
-    obs_inv = params.obs_inv if obs_inv is None else obs_inv
-
-    r_s = factors.prior_residual(params.start, th[..., 0, :])
-    r_g = factors.prior_residual(params.goal, th[..., -1, :])
-    err = 0.5 * _einsum("...i,...ij,...j->...", r_s, params.ks_inv, r_s)
-    err += 0.5 * _einsum("...i,...ij,...j->...", r_g, params.kg_inv, r_g)
-
-    r_gp = factors.gp_residual(th, phi)
-    err += 0.5 * _einsum("...ti,...tij,...tj->...", r_gp, q_inv, r_gp)
-
-    centers, jac_fk = robot.fk(th)
-    r_obs, _ = factors.hinge_obstacle_residual(
-        centers,
-        jac_fk,
-        robot.radii_array(dtype),
-        params.eps,
-        sdf,
-        spec.res(sdf.shape[-1]),
-        spec.x_lims,
-        spec.y_lims,
-    )
-    err += 0.5 * _einsum("...tl,...tlk,...tk->...", r_obs, obs_inv, r_obs)
-
-    if spec.non_holonomic:
-        r_dyn, _ = factors.nonholonomic_residual(th)
-        err += 0.5 * _einsum("...t,...t->...", params.dyn_inv * r_dyn, r_dyn)
-    if spec.use_vel_limits:
-        r_vel, _ = factors.velocity_limit_residual(th, params.v_lim, spec.dof)
-        err += 0.5 * _einsum("...tl,...tlk,...tk->...", r_vel, params.vel_inv, r_vel)
-
-    return err / spec.M
+    err_sg = 0.5 * jnp.sum(res.r_s**2, -1) + 0.5 * jnp.sum(res.r_g**2, -1)
+    err_gp = jnp.mean(0.5 * jnp.sum(res.r_gp**2, -1), axis=-1)
+    err_obs = jnp.mean(0.5 * jnp.sum(res.r_obs**2, -1), axis=-1)
+    return err_sg, err_gp, err_obs
 
 
 def unweighted_errors(
@@ -263,36 +316,9 @@ def unweighted_errors(
     th: jnp.ndarray,
     sdf: jnp.ndarray,
 ):
-    """Unweighted per-term errors for task losses (``plan_layer.py:374-388``).
-
-    Returns ``(err_sg, err_gp, err_obs)`` each shaped (B,):
-      err_sg  = ½‖r_start‖² + ½‖r_goal‖²  (mean over the singleton factor dim)
-      err_gp  = mean_t ½‖r_gp,t‖²
-      err_obs = mean_t ½‖r_obs,t‖²
-    """
-    dtype = th.dtype
-    phi = factors.gp_phi(spec.dof, spec.dt, dtype)
-
-    r_s = factors.prior_residual(params.start, th[..., 0, :])
-    r_g = factors.prior_residual(params.goal, th[..., -1, :])
-    err_sg = 0.5 * jnp.sum(r_s * r_s, -1) + 0.5 * jnp.sum(r_g * r_g, -1)
-
-    r_gp = factors.gp_residual(th, phi)
-    err_gp = jnp.mean(0.5 * jnp.sum(r_gp * r_gp, -1), axis=-1)
-
-    centers, jac_fk = robot.fk(th)
-    r_obs, _ = factors.hinge_obstacle_residual(
-        centers,
-        jac_fk,
-        robot.radii_array(dtype),
-        params.eps,
-        sdf,
-        spec.res(sdf.shape[-1]),
-        spec.x_lims,
-        spec.y_lims,
+    return unweighted_errors_from_residuals(
+        eval_residuals(spec, robot, params, th, sdf)
     )
-    err_obs = jnp.mean(0.5 * jnp.sum(r_obs * r_obs, -1), axis=-1)
-    return err_sg, err_gp, err_obs
 
 
 def obstacle_residuals(spec, robot, params, th, sdf):

@@ -64,6 +64,7 @@ def generate_split(
     cov_scalars: dict,
     label_subdir: str = "opt_trajs_gpmp2",
     max_env_retries: int = 20,
+    rrtstar_init: bool = False,
 ):
     os.makedirs(out_dir, exist_ok=True)
     res = (spec.x_lims[1] - spec.x_lims[0]) / im_size
@@ -112,6 +113,33 @@ def generate_split(
                 jnp.asarray(startb[:, :2]), jnp.asarray(goalb[:, :2]),
                 spec.total_time_sec, spec.total_time_step,
             )
+            if rrtstar_init:
+                # RRT* seed via the native C++ expert planner (replaces the
+                # reference's OMPL bridge, ompl_rrtstar.py + rrt_star_traj
+                # in generate_2d_dataset.py:90-100).
+                from dgpmp2_tpu import native
+                from dgpmp2_tpu.utils.trajectory import path_to_traj_avg_vel
+
+                seeds = []
+                ok = True
+                for j in range(probs_per_env):
+                    path = native.rrt_star(
+                        sdf_np, start[j], goal[j], spec.x_lims, spec.y_lims,
+                        clearance=safety, plan_time=2.0,
+                        seed=int(rng.integers(1 << 31)),
+                    )
+                    if path is None:
+                        ok = False
+                        break
+                    interp = native.interpolate_path(path, spec.num_traj_states)
+                    seeds.append(np.asarray(
+                        path_to_traj_avg_vel(
+                            jnp.asarray(interp), spec.total_time_sec
+                        )
+                    ))
+                if not ok:
+                    continue
+                th0 = jnp.asarray(np.stack(seeds), jnp.float32)
             sdfb = jnp.broadcast_to(
                 jnp.asarray(sdf_np, jnp.float32), (probs_per_env, im_size, im_size)
             )
@@ -155,6 +183,8 @@ def main(argv: Optional[list] = None):
     p.add_argument("--cost_sigma", type=float, default=0.05)
     p.add_argument("--epsilon_dist", type=float, default=0.4)
     p.add_argument("--max_iters", type=int, default=60)
+    p.add_argument("--rrtstar_init", action="store_true",
+                   help="seed the expert with native RRT* paths")
     args = p.parse_args(argv)
 
     spec = graph.GraphSpec(total_time_step=args.total_time_step)
@@ -169,7 +199,7 @@ def main(argv: Optional[list] = None):
             generate_split(
                 os.path.join(out, mode), n, args.probs_per_env,
                 args.dataset_type, args.im_size, rng, spec, robot, cfg,
-                cov_scalars,
+                cov_scalars, rrtstar_init=args.rrtstar_init,
             )
     print(f"dataset written to {out}")
 

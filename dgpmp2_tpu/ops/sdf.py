@@ -228,6 +228,170 @@ def bilinear_lookup(
     return d, grad
 
 
+def bilinear_lookup_mxu(
+    sdf: jnp.ndarray,
+    points: jnp.ndarray,
+    res: float,
+    x_lims,
+    y_lims,
+):
+    """MXU formulation of :func:`bilinear_lookup` — identical math, no gather.
+
+    TPUs hate fine-grained random gathers: the take-based lookup costs ~5 ms
+    at B=1024, P=101 on a v5e while the whole GN solve is ~1 ms.  Bilinear
+    interpolation is a *linear* functional of the image, so express it as
+    matmuls against interpolation one-hots and let the MXU do it:
+
+        d(b, p)      = Σ_h Σ_w  Wy[b,p,h] · S[b,h,w] · Wx[b,p,w]
+        ∂d/∂px(b, p) = Σ_h Σ_w  Wy[b,p,h] · S[b,h,w] · dWx[b,p,w]
+        ∂d/∂py(b, p) = Σ_h Σ_w dWy[b,p,h] · S[b,h,w] ·  Wx[b,p,w]
+
+    where ``Wy`` has ``(1-fy, fy)`` at the two interpolation rows and ``dWy``
+    has ``(-1, +1)`` (zero when clamped, matching the gather path's clamped
+    corners exactly).  Cost: two (B,P,H)x(B,H,W) batched matmuls — ~7 GFLOP
+    at the default problem size, microseconds on the MXU, versus hundreds of
+    thousands of scalar gathers.
+
+    Equivalent to :func:`bilinear_lookup` to f32 rounding; property-tested
+    against it.
+    """
+    h, w = sdf.shape[-2], sdf.shape[-1]
+    dtype = sdf.dtype
+    x = points[..., 0].astype(dtype)
+    y = points[..., 1].astype(dtype)
+    max_d = jnp.asarray(x_lims[1] - x_lims[0], dtype)
+
+    px = -x_lims[0] / res + x / res
+    py = -y_lims[0] / res - y / res
+    px1, py1, fx, fy = _interp_weights(px, py)
+    px1c = jnp.clip(px1, 0, w - 1)
+    px2c = jnp.clip(px1 + 1, 0, w - 1)
+    py1c = jnp.clip(py1, 0, h - 1)
+    py2c = jnp.clip(py1 + 1, 0, h - 1)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h,), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
+    oy1 = (py1c[..., None] == rows).astype(dtype)  # (..., P, H)
+    oy2 = (py2c[..., None] == rows).astype(dtype)
+    ox1 = (px1c[..., None] == cols).astype(dtype)  # (..., P, W)
+    ox2 = (px2c[..., None] == cols).astype(dtype)
+
+    wy = (1.0 - fy)[..., None] * oy1 + fy[..., None] * oy2
+    dwy = oy2 - oy1  # ∂/∂py one-hot; zero when clamped (oy1 == oy2)
+    wx = (1.0 - fx)[..., None] * ox1 + fx[..., None] * ox2
+    dwx = ox2 - ox1
+
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("...ph,...hw->...pw", wy, sdf, precision=hi)
+    t2 = jnp.einsum("...ph,...hw->...pw", dwy, sdf, precision=hi)
+    d = jnp.sum(t * wx, axis=-1)
+    dd_dpx = jnp.sum(t * dwx, axis=-1)
+    dd_dpy = jnp.sum(t2 * wx, axis=-1)
+    gx = dd_dpx / res
+    gy = -dd_dpy / res
+
+    inside = (
+        (x >= x_lims[0]) & (x <= x_lims[1]) & (y >= y_lims[0]) & (y <= y_lims[1])
+    )
+    d = jnp.where(inside, d, max_d)
+    zero = jnp.zeros((), dtype)
+    grad = jnp.stack(
+        [jnp.where(inside, gx, zero), jnp.where(inside, gy, zero)], axis=-1
+    )
+    return d, grad
+
+
+def bilinear_lookup_rows(
+    sdf: jnp.ndarray,
+    points: jnp.ndarray,
+    res: float,
+    x_lims,
+    y_lims,
+):
+    """Row-gather formulation of :func:`bilinear_lookup` — TPU sweet spot.
+
+    Element gathers are catastrophic on TPU (~5 ms for B=1024, P=101 corners
+    on a v5e) and the fully-dense MXU one-hot formulation compiles poorly at
+    batch 1024.  Middle ground: gather the two interpolation *rows* per
+    query (contiguous W-length vectors — DMA-friendly), then do the x-axis
+    interpolation as a lane-wise one-hot dot:
+
+        R1[b,p,:] = S[b, py1, :] ;  R2[b,p,:] = S[b, py2, :]   (row gathers)
+        R  = (1-fy)·R1 + fy·R2
+        d        = Σ_w R·Wx          ∂d/∂px = Σ_w R·dWx
+        ∂d/∂py   = Σ_w (R2-R1)·Wx
+
+    Same clamped-corner / out-of-bounds semantics as the gather path
+    (property-tested against it).
+    """
+    h, w = sdf.shape[-2], sdf.shape[-1]
+    dtype = sdf.dtype
+    x = points[..., 0].astype(dtype)
+    y = points[..., 1].astype(dtype)
+    max_d = jnp.asarray(x_lims[1] - x_lims[0], dtype)
+
+    px = -x_lims[0] / res + x / res
+    py = -y_lims[0] / res - y / res
+    px1, py1, fx, fy = _interp_weights(px, py)
+    px1c = jnp.clip(px1, 0, w - 1)
+    px2c = jnp.clip(px1 + 1, 0, w - 1)
+    py1c = jnp.clip(py1, 0, h - 1)
+    py2c = jnp.clip(py1 + 1, 0, h - 1)
+
+    # Row gathers along the H axis: (..., P, W) each.
+    r1 = jnp.take_along_axis(sdf, py1c[..., None], axis=-2)
+    r2 = jnp.take_along_axis(sdf, py2c[..., None], axis=-2)
+    r = (1.0 - fy)[..., None] * r1 + fy[..., None] * r2
+    dr = r2 - r1
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
+    ox1 = (px1c[..., None] == cols).astype(dtype)
+    ox2 = (px2c[..., None] == cols).astype(dtype)
+    wx = (1.0 - fx)[..., None] * ox1 + fx[..., None] * ox2
+    dwx = ox2 - ox1
+
+    d = jnp.sum(r * wx, axis=-1)
+    dd_dpx = jnp.sum(r * dwx, axis=-1)
+    dd_dpy = jnp.sum(dr * wx, axis=-1)
+    gx = dd_dpx / res
+    gy = -dd_dpy / res
+
+    inside = (
+        (x >= x_lims[0]) & (x <= x_lims[1]) & (y >= y_lims[0]) & (y <= y_lims[1])
+    )
+    d = jnp.where(inside, d, max_d)
+    zero = jnp.zeros((), dtype)
+    grad = jnp.stack(
+        [jnp.where(inside, gx, zero), jnp.where(inside, gy, zero)], axis=-1
+    )
+    return d, grad
+
+
+# Lookup engine selection: the row path wins on TPU, the gather path on CPU.
+_LOOKUP_METHOD = "auto"
+_LOOKUP_FNS = {
+    "gather": bilinear_lookup,
+    "mxu": bilinear_lookup_mxu,
+    "rows": bilinear_lookup_rows,
+}
+
+
+def set_lookup_method(method: str) -> None:
+    """Override the bilinear lookup engine: 'auto' | 'gather' | 'mxu' | 'rows'."""
+    global _LOOKUP_METHOD
+    if method != "auto" and method not in _LOOKUP_FNS:
+        raise ValueError(method)
+    _LOOKUP_METHOD = method
+
+
+def lookup(sdf, points, res, x_lims, y_lims):
+    """Backend-dispatched bilinear lookup (see :func:`set_lookup_method`)."""
+    method = _LOOKUP_METHOD
+    if method == "auto":
+        method = "rows" if jax.default_backend() == "tpu" else "gather"
+    return _LOOKUP_FNS[method](sdf, points, res, x_lims, y_lims)
+
+
 @functools.partial(jax.jit, static_argnames=("x_lims", "y_lims", "res"))
 def bilinear_lookup_jit(sdf, points, res, x_lims, y_lims):
     return bilinear_lookup(sdf, points, res, x_lims, y_lims)

@@ -128,3 +128,75 @@ def test_bilinear_lookup_jittable_and_differentiable():
     val, grads = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(sdf, pts)
     assert np.isfinite(float(val))
     assert all(np.all(np.isfinite(np.asarray(g))) for g in grads)
+
+
+def test_mxu_lookup_matches_gather():
+    n = 64
+    lims = (-5.0, 5.0)
+    res = 10.0 / n
+    rng = np.random.default_rng(7)
+    sdf = jnp.asarray(rng.standard_normal((3, n, n)))
+    pts = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-4.9, 4.9, (3, 40, 2)),
+             rng.uniform(-7, 7, (3, 10, 2))],  # includes out-of-bounds
+            axis=1,
+        )
+    )
+    d1, g1 = sdf_ops.bilinear_lookup(sdf, pts, res, lims, lims)
+    d2, g2 = sdf_ops.bilinear_lookup_mxu(sdf, pts, res, lims, lims)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-10)
+
+
+def test_mxu_lookup_differentiable():
+    n = 32
+    lims = (-5.0, 5.0)
+    res = 10.0 / n
+    rng = np.random.default_rng(8)
+    sdf = jnp.asarray(rng.standard_normal((2, n, n)))
+    pts = jnp.asarray(rng.uniform(-4, 4, (2, 9, 2)))
+
+    def loss(fn, sdf, pts):
+        d, g = fn(sdf, pts, res, lims, lims)
+        return jnp.sum(d**2) + jnp.sum(g**2)
+
+    g1 = jax.grad(lambda s: loss(sdf_ops.bilinear_lookup, s, pts))(sdf)
+    g2 = jax.grad(lambda s: loss(sdf_ops.bilinear_lookup_mxu, s, pts))(sdf)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
+
+
+def test_rows_lookup_matches_gather():
+    n = 64
+    lims = (-5.0, 5.0)
+    res = 10.0 / n
+    rng = np.random.default_rng(9)
+    sdf = jnp.asarray(rng.standard_normal((3, n, n)))
+    pts = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-4.9, 4.9, (3, 40, 2)),
+             rng.uniform(-7, 7, (3, 10, 2))],
+            axis=1,
+        )
+    )
+    d1, g1 = sdf_ops.bilinear_lookup(sdf, pts, res, lims, lims)
+    d2, g2 = sdf_ops.bilinear_lookup_rows(sdf, pts, res, lims, lims)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-10)
+
+
+def test_rows_lookup_differentiable():
+    n = 32
+    lims = (-5.0, 5.0)
+    res = 10.0 / n
+    rng = np.random.default_rng(10)
+    sdf = jnp.asarray(rng.standard_normal((2, n, n)))
+    pts = jnp.asarray(rng.uniform(-4, 4, (2, 9, 2)))
+
+    def loss(fn, s):
+        d, g = fn(s, pts, res, lims, lims)
+        return jnp.sum(d**2) + jnp.sum(g**2)
+
+    g1 = jax.grad(lambda s: loss(sdf_ops.bilinear_lookup, s))(sdf)
+    g2 = jax.grad(lambda s: loss(sdf_ops.bilinear_lookup_rows, s))(sdf)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
