@@ -54,19 +54,30 @@ def gp_q_inv(qc_inv: jnp.ndarray, dt: float) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def gp_residual(th: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+def gp_residual(th: jnp.ndarray, phi: jnp.ndarray = None, dt: float = None) -> jnp.ndarray:
     """GP residual ``r_i = x_{i+1} - Φ x_i`` for i = 0..T-1.
 
     Args:
-      th:  (..., T+1, D) trajectory.
-      phi: (D, D) transition matrix.
+      th: (..., T+1, D) trajectory with layout [pos(dof), vel(dof)].
+      dt: transition time step (preferred — applies Φ in closed form:
+          ``Φ x = [pos + dt·vel, vel]``, no matmul).  ``phi`` is accepted
+          for generality but only its (0, dof) entry (dt) is meaningful for
+          the constant-velocity prior.
 
     Returns (..., T, D).  Jacobians are constant: ``H1 = Φ`` w.r.t. ``x_i``,
     ``H2 = -I`` w.r.t. ``x_{i+1}`` (``gp_factor.py:100-110``) — the
     assembler uses them in closed form rather than materializing per-factor
     copies.
     """
-    return th[..., 1:, :] - jnp.einsum("ij,...tj->...ti", phi, th[..., :-1, :])
+    if dt is None:
+        dof = th.shape[-1] // 2
+        dt = phi[0, dof]
+    dof = th.shape[-1] // 2
+    prev = th[..., :-1, :]
+    phi_x = jnp.concatenate(
+        [prev[..., :dof] + dt * prev[..., dof:], prev[..., dof:]], axis=-1
+    )
+    return th[..., 1:, :] - phi_x
 
 
 # ---------------------------------------------------------------------------

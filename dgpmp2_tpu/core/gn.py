@@ -164,14 +164,16 @@ def plan(
     # The factor graph is evaluated ONCE per iteration: the same residuals
     # drive assembly, the error trace, and the external error (the
     # reference recomputes them >=3x per step, plan_layer.py:95-98).
+    # GP/prior Gauss blocks are constant across iterations -> hoisted.
     res0 = residuals(th_init)
     err0 = weighted_err(res0)
+    static = graph_lib.assemble_static(spec, params, dtype)
 
     def body(carry, _):
         th, res, err_old, conv, lam, iters = carry
         delta = lam if lm else jnp.asarray(cfg.reg, dtype)
         diag, off, rhs = graph_lib.assemble_from_residuals(
-            spec, params, res, dtype=dtype
+            spec, params, res, dtype=dtype, static=static
         )
         diag, off, rhs = damped_system(diag, off, rhs, delta, trust_region=lm)
         dth = tridiag.btd_solve_auto(diag, off, rhs)

@@ -37,10 +37,28 @@ from flax import struct
 from dgpmp2_tpu.core import factors
 from dgpmp2_tpu.robots import RobotModel
 
-# All block algebra runs at full f32 precision: these are tiny-dim
-# contractions (D<=6, L small) where TPU bf16 MXU rounding would corrupt
-# the 1e4-scale covariance weights for zero speed benefit.
-_einsum = functools.partial(jnp.einsum, precision=lax.Precision.HIGHEST)
+# Tiny-dim contractions written as explicit broadcast-multiply-reduce so
+# they stay on the VPU: einsum/matmul at D<=6 lowers to MXU tiles padded to
+# 128x128 (and 6-pass at HIGHEST precision) — measurably slower than the
+# handful of fused elementwise ops they actually are.
+def _mv(mat, vec):
+    """(..., i, j) x (..., j) -> (..., i)."""
+    return jnp.sum(mat * vec[..., None, :], axis=-1)
+
+
+def _phiT_left(q, dof, dt):
+    """Φᵀ·Q for the CV-GP transition: Φᵀ = [[I, 0], [dt·I, I]] — block adds,
+    no matmul (Φ structure from ``gp_factor.py:31-37``)."""
+    top = q[..., :dof, :]
+    bot = dt * top + q[..., dof:, :]
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _phi_right(m, dof, dt):
+    """M·Φ with Φ = [[I, dt·I], [0, I]]: col₂ -> dt·col₁ + col₂."""
+    left = m[..., :, :dof]
+    right = dt * left + m[..., :, dof:]
+    return jnp.concatenate([left, right], axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,8 +168,7 @@ def eval_residuals(
 ) -> FactorResiduals:
     """Evaluate every factor once at ``th`` (one SDF lookup total)."""
     dtype = th.dtype
-    phi = factors.gp_phi(spec.dof, spec.dt, dtype)
-    r_gp = factors.gp_residual(th, phi)
+    r_gp = factors.gp_residual(th, dt=spec.dt)
     r_s = factors.prior_residual(params.start, th[..., 0, :])
     r_g = factors.prior_residual(params.goal, th[..., -1, :])
     centers, jac_fk = robot.fk(th)
@@ -169,11 +186,49 @@ def eval_residuals(
                            r_vel=r_vel, h_vel=h_vel)
 
 
+class StaticBlocks(struct.PyTreeNode):
+    """Iteration-invariant pieces of the normal equations.
+
+    For the CV-GP prior + start/goal priors, ``H`` is constant, so their
+    Gauss part (``HᵀΛH``) never changes across GN iterations — only the rhs
+    does.  Precomputing it outside the plan loop removes ~half the
+    per-iteration block traffic for fixed-covariance planning.
+
+    diag_static: (B, T+1, D, D) GP/prior contributions to the diagonal.
+    off:         (B, T, D, D) the full off-diagonal (-ΦᵀQ⁻¹ — GP only).
+    phiT_q:      (B, T, D, D) ΦᵀQ⁻¹, reused for the GP rhs.
+    """
+
+    diag_static: jnp.ndarray
+    off: jnp.ndarray
+    phiT_q: jnp.ndarray
+
+
+def assemble_static(spec: GraphSpec, params: GraphParams, dtype) -> StaticBlocks:
+    """GP + prior Gauss blocks (constant across iterations)."""
+    d = spec.state_dim
+    tn = spec.num_traj_states
+    dof = spec.dof
+    q_inv = params.q_inv
+    batch = q_inv.shape[:-3]
+    # H1 = Φ (w.r.t. x_i), H2 = -I (w.r.t. x_{i+1}):
+    #   diag_i += Φᵀ Q⁻¹ Φ ;  diag_{i+1} += Q⁻¹ ;  off_i = -Φᵀ Q⁻¹
+    # Φ's block structure makes all of these elementwise (no matmuls).
+    phiT_q = _phiT_left(q_inv, dof, spec.dt).astype(dtype)
+    diag = jnp.zeros((*batch, tn, d, d), dtype)
+    diag = diag.at[..., :-1, :, :].add(_phi_right(phiT_q, dof, spec.dt))
+    diag = diag.at[..., 1:, :, :].add(q_inv)
+    diag = diag.at[..., 0, :, :].add(params.ks_inv)
+    diag = diag.at[..., -1, :, :].add(params.kg_inv)
+    return StaticBlocks(diag_static=diag, off=-phiT_q, phiT_q=phiT_q)
+
+
 def assemble_from_residuals(
     spec: GraphSpec,
     params: GraphParams,
     res: FactorResiduals,
     dtype=None,
+    static: Optional[StaticBlocks] = None,
 ):
     """Assemble block-tridiagonal GN normal equations from residuals.
 
@@ -181,41 +236,41 @@ def assemble_from_residuals(
       diag (B, T+1, D, D), off (B, T, D, D), rhs (B, T+1, D) such that the
       dense system the reference builds satisfies ``AᵀKA = blocktridiag(diag,
       off)`` and ``AᵀKb = rhs``.
+
+    Pass a precomputed ``static`` (from :func:`assemble_static`) inside
+    iteration loops where ``params`` is fixed.
     """
-    d = spec.state_dim
     tn = spec.num_traj_states
     dtype = res.r_gp.dtype if dtype is None else dtype
-    batch = res.r_gp.shape[:-2]
 
-    phi = factors.gp_phi(spec.dof, spec.dt, dtype)
+    if static is None:
+        static = assemble_static(spec, params, dtype)
+    diag = static.diag_static
+    off = static.off
+    phiT_q = static.phiT_q
+    q_inv = params.q_inv
 
-    # --- GP factors (the only inter-state coupling) ---------------------
+    # --- rhs from GP + prior residuals -----------------------------------
+    #   rhs_i += Φᵀ Q⁻¹ r ; rhs_{i+1} -= Q⁻¹ r ; endpoints += K⁻¹ r
     r_gp = res.r_gp  # (B, T, D)
-    q_inv = params.q_inv  # (B, T, D, D)
-    # H1 = Φ (w.r.t. x_i), H2 = -I (w.r.t. x_{i+1}):
-    #   diag_i   += Φᵀ Q⁻¹ Φ ;  diag_{i+1} += Q⁻¹
-    #   off_i     = -Φᵀ Q⁻¹   ;  rhs_i += Φᵀ Q⁻¹ r ; rhs_{i+1} -= Q⁻¹ r
-    phiT_q = _einsum("ji,...tjk->...tik", phi, q_inv)  # Φᵀ Q⁻¹
-    diag = jnp.zeros((*batch, tn, d, d), dtype)
-    diag = diag.at[..., :-1, :, :].add(_einsum("...tij,jk->...tik", phiT_q, phi))
-    diag = diag.at[..., 1:, :, :].add(q_inv)
-    off = -phiT_q  # (B, T, D, D)
+    batch = r_gp.shape[:-2]
+    d = spec.state_dim
     rhs = jnp.zeros((*batch, tn, d), dtype)
-    rhs = rhs.at[..., :-1, :].add(_einsum("...tij,...tj->...ti", phiT_q, r_gp))
-    rhs = rhs.at[..., 1:, :].add(-_einsum("...tij,...tj->...ti", q_inv, r_gp))
-
-    # --- Start / goal priors (H = I) ------------------------------------
-    r_s, r_g = res.r_s, res.r_g
-    diag = diag.at[..., 0, :, :].add(params.ks_inv)
-    diag = diag.at[..., -1, :, :].add(params.kg_inv)
-    rhs = rhs.at[..., 0, :].add(_einsum("...ij,...j->...i", params.ks_inv, r_s))
-    rhs = rhs.at[..., -1, :].add(_einsum("...ij,...j->...i", params.kg_inv, r_g))
+    rhs = rhs.at[..., :-1, :].add(_mv(phiT_q, r_gp))
+    rhs = rhs.at[..., 1:, :].add(-_mv(q_inv, r_gp))
+    rhs = rhs.at[..., 0, :].add(_mv(params.ks_inv, res.r_s))
+    rhs = rhs.at[..., -1, :].add(_mv(params.kg_inv, res.r_g))
 
     # --- Obstacle factors (unary) ----------------------------------------
     r_obs, h_obs = res.r_obs, res.h_obs  # (B, T+1, L), (B, T+1, L, D)
-    lam_h = _einsum("...lk,...ki->...li", params.obs_inv, h_obs)
-    diag = diag + _einsum("...li,...lj->...ij", h_obs, lam_h)
-    rhs = rhs + _einsum("...li,...l->...i", lam_h, r_obs)
+    # λH per sphere, then Σ_l outer products (L is tiny and static).
+    lam_h = jnp.sum(
+        params.obs_inv[..., :, :, None] * h_obs[..., None, :, :], axis=-2
+    )  # (B, T+1, L, D)
+    diag = diag + jnp.sum(
+        h_obs[..., :, :, None] * lam_h[..., :, None, :], axis=-3
+    )
+    rhs = rhs + jnp.sum(lam_h * r_obs[..., None], axis=-2)
 
     # --- Nonholonomic constraint (unary, scalar residual) ----------------
     if spec.non_holonomic:
@@ -229,9 +284,13 @@ def assemble_from_residuals(
     # --- Velocity limits (unary, dof residuals) --------------------------
     if spec.use_vel_limits:
         r_vel, h_vel = res.r_vel, res.h_vel
-        lam_hv = _einsum("...lk,...ki->...li", params.vel_inv, h_vel)
-        diag = diag + _einsum("...li,...lj->...ij", h_vel, lam_hv)
-        rhs = rhs + _einsum("...li,...l->...i", lam_hv, r_vel)
+        lam_hv = jnp.sum(
+            params.vel_inv[..., :, :, None] * h_vel[..., None, :, :], axis=-2
+        )
+        diag = diag + jnp.sum(
+            h_vel[..., :, :, None] * lam_hv[..., :, None, :], axis=-3
+        )
+        rhs = rhs + jnp.sum(lam_hv * r_vel[..., None], axis=-2)
 
     return diag, off, rhs
 
@@ -266,17 +325,15 @@ def error_from_residuals(
     q_inv = params.q_inv if q_inv is None else q_inv
     obs_inv = params.obs_inv if obs_inv is None else obs_inv
 
-    err = 0.5 * _einsum("...i,...ij,...j->...", res.r_s, params.ks_inv, res.r_s)
-    err += 0.5 * _einsum("...i,...ij,...j->...", res.r_g, params.kg_inv, res.r_g)
-    err += 0.5 * _einsum("...ti,...tij,...tj->...", res.r_gp, q_inv, res.r_gp)
-    err += 0.5 * _einsum("...tl,...tlk,...tk->...", res.r_obs, obs_inv, res.r_obs)
+    err = 0.5 * jnp.sum(_mv(params.ks_inv, res.r_s) * res.r_s, axis=-1)
+    err += 0.5 * jnp.sum(_mv(params.kg_inv, res.r_g) * res.r_g, axis=-1)
+    err += 0.5 * jnp.sum(_mv(q_inv, res.r_gp) * res.r_gp, axis=(-2, -1))
+    err += 0.5 * jnp.sum(_mv(obs_inv, res.r_obs) * res.r_obs, axis=(-2, -1))
     if spec.non_holonomic:
-        err += 0.5 * _einsum(
-            "...t,...t->...", params.dyn_inv * res.r_dyn, res.r_dyn
-        )
+        err += 0.5 * jnp.sum(params.dyn_inv * res.r_dyn**2, axis=-1)
     if spec.use_vel_limits:
-        err += 0.5 * _einsum(
-            "...tl,...tlk,...tk->...", res.r_vel, params.vel_inv, res.r_vel
+        err += 0.5 * jnp.sum(
+            _mv(params.vel_inv, res.r_vel) * res.r_vel, axis=(-2, -1)
         )
     return err / spec.M
 

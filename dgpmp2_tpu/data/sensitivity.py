@@ -79,6 +79,26 @@ def main(argv=None):
     print(f"best sigma = {out['best_sigma']}: {out['best']}")
     return out
 
+def plot_results(results_file: str, out_png: str = "sensitivity.png"):
+    """Solve-rate-vs-sigma curve (``datasets/plot_results.py:8-18``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(results_file) as fp:
+        data = yaml.safe_load(fp)
+    per = data["per_sigma"]
+    sigmas = sorted(float(s) for s in per)
+    unsolved = [1.0 - per[s]["solve_rate"] for s in sigmas]
+    fig, ax = plt.subplots()
+    ax.plot(sigmas, unsolved, "-", marker="o")
+    ax.set_xscale("log")
+    ax.set_xlabel("cost_sigma")
+    ax.set_ylabel("fraction unsolved")
+    fig.savefig(out_png, bbox_inches="tight", dpi=110)
+    return out_png
+
 
 if __name__ == "__main__":
     main()

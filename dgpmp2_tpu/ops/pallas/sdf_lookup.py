@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: fused bilinear SDF lookup (value + gradient).
+
+The XLA one-hot MXU formulation of the lookup is bandwidth-bound: the
+(B, P, H) interpolation one-hots round-trip HBM (~400 MB per evaluation at
+B=1024) for ~1.45 ms.  This kernel performs the identical math but builds
+the one-hots *in VMEM* per batch tile and feeds them straight to the MXU:
+
+    per sample s in the tile:
+        wy, dwy : (P, H) row one-hots           (VPU compares, never in HBM)
+        t1, t2  = wy @ S_s, dwy @ S_s           (MXU, P x H x W)
+        d       = Σ_w t1·wx ;  ∂d/∂px = Σ_w t1·dwx ;  ∂d/∂py = Σ_w t2·wx
+
+HBM traffic collapses to the SDF batch itself plus tiny point/output
+arrays.  Semantics (clamped corners, out-of-bounds ⇒ MAX_D with zero
+gradient) match :func:`dgpmp2_tpu.ops.sdf.bilinear_lookup` exactly.
+
+Differentiation: fast Pallas forward with a custom VJP that replays the
+XLA ``bilinear_lookup_mxu`` formulation under ``jax.vjp`` — exact
+cotangents for both the SDF and the query points without hand-deriving the
+piecewise-bilinear second-order terms.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(s_per_prog: int, p_pad: int, h: int, w: int,
+                 res: float, x_lims, y_lims):
+    orig_px = -x_lims[0] / res
+    orig_py = -y_lims[0] / res
+    max_d = x_lims[1] - x_lims[0]
+
+    def kernel(sdf_ref, x_ref, y_ref, d_ref, gx_ref, gy_ref):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        for s in range(s_per_prog):
+            x = x_ref[s : s + 1, :]  # (1, P)
+            y = y_ref[s : s + 1, :]
+            px = orig_px + x / res
+            py = orig_py - y / res
+            px1 = jnp.floor(px)
+            py1 = jnp.floor(py)
+            fx = px - px1
+            fy = py - py1
+            px1c = jnp.clip(px1.astype(jnp.int32), 0, w - 1)
+            px2c = jnp.clip(px1.astype(jnp.int32) + 1, 0, w - 1)
+            py1c = jnp.clip(py1.astype(jnp.int32), 0, h - 1)
+            py2c = jnp.clip(py1.astype(jnp.int32) + 1, 0, h - 1)
+
+            # (P, 1) columns against (1, H)/(1, W) iotas -> (P, H)/(P, W).
+            py1t = jnp.transpose(py1c)
+            py2t = jnp.transpose(py2c)
+            fyt = jnp.transpose(fy)
+            oy1 = (py1t == rows).astype(jnp.float32)
+            oy2 = (py2t == rows).astype(jnp.float32)
+            wy = (1.0 - fyt) * oy1 + fyt * oy2
+            dwy = oy2 - oy1
+
+            s_img = sdf_ref[s]  # (H, W)
+            t1 = jnp.dot(wy, s_img, preferred_element_type=jnp.float32)
+            t2 = jnp.dot(dwy, s_img, preferred_element_type=jnp.float32)
+
+            px1t = jnp.transpose(px1c)
+            px2t = jnp.transpose(px2c)
+            fxt = jnp.transpose(fx)
+            ox1 = (px1t == cols).astype(jnp.float32)
+            ox2 = (px2t == cols).astype(jnp.float32)
+            wx = (1.0 - fxt) * ox1 + fxt * ox2
+            dwx = ox2 - ox1
+
+            d = jnp.sum(t1 * wx, axis=-1, keepdims=True)  # (P, 1)
+            ddpx = jnp.sum(t1 * dwx, axis=-1, keepdims=True)
+            ddpy = jnp.sum(t2 * wx, axis=-1, keepdims=True)
+
+            inside = (
+                (x >= x_lims[0]) & (x <= x_lims[1])
+                & (y >= y_lims[0]) & (y <= y_lims[1])
+            )
+            d_row = jnp.where(inside, jnp.transpose(d), max_d)
+            gx_row = jnp.where(inside, jnp.transpose(ddpx) / res, 0.0)
+            gy_row = jnp.where(inside, -jnp.transpose(ddpy) / res, 0.0)
+            d_ref[s : s + 1, :] = d_row
+            gx_ref[s : s + 1, :] = gx_row
+            gy_ref[s : s + 1, :] = gy_row
+
+    return kernel
+
+
+def _lookup_impl(sdf, points, res, x_lims, y_lims,
+                 s_per_prog: int = 8, interpret: bool = False):
+    b, h, w = sdf.shape
+    p = points.shape[-2]
+    p_pad = -(-p // 128) * 128
+    b_pad = -(-b // s_per_prog) * s_per_prog
+
+    x = points[..., 0]
+    y = points[..., 1]
+    if p_pad != p:
+        fill = jnp.zeros((b, p_pad - p), points.dtype)
+        x = jnp.concatenate([x, fill], axis=-1)
+        y = jnp.concatenate([y, fill], axis=-1)
+    if b_pad != b:
+        sdf = jnp.concatenate(
+            [sdf, jnp.zeros((b_pad - b, h, w), sdf.dtype)], axis=0
+        )
+        zf = jnp.zeros((b_pad - b, p_pad), x.dtype)
+        x = jnp.concatenate([x, zf], axis=0)
+        y = jnp.concatenate([y, zf], axis=0)
+
+    kernel = _make_kernel(s_per_prog, p_pad, h, w, res, tuple(x_lims),
+                          tuple(y_lims))
+    out_shape = jax.ShapeDtypeStruct((b_pad, p_pad), jnp.float32)
+    d, gx, gy = pl.pallas_call(
+        kernel,
+        grid=(b_pad // s_per_prog,),
+        in_specs=[
+            pl.BlockSpec((s_per_prog, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_per_prog, p_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_per_prog, p_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s_per_prog, p_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_per_prog, p_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_per_prog, p_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[out_shape, out_shape, out_shape],
+        interpret=interpret,
+    )(sdf.astype(jnp.float32), x.astype(jnp.float32), y.astype(jnp.float32))
+    d = d[:b, :p]
+    grad = jnp.stack([gx[:b, :p], gy[:b, :p]], axis=-1)
+    return d, grad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def bilinear_lookup_pallas(sdf, points, res, x_lims, y_lims,
+                           s_per_prog: int = 8, interpret: bool = False):
+    """Fused-lookup kernel with XLA-replay backward (see module docstring).
+
+    Same contract as :func:`dgpmp2_tpu.ops.sdf.bilinear_lookup`: returns
+    ``(d (B, P), grad (B, P, 2))``.
+    """
+    return _lookup_impl(sdf, points, res, x_lims, y_lims, s_per_prog,
+                        interpret)
+
+
+def _fwd(sdf, points, res, x_lims, y_lims, s_per_prog, interpret):
+    out = _lookup_impl(sdf, points, res, x_lims, y_lims, s_per_prog, interpret)
+    return out, (sdf, points)
+
+
+def _bwd(res_, x_lims, y_lims, s_per_prog, interpret, saved, cot):
+    from dgpmp2_tpu.ops.sdf import bilinear_lookup_mxu
+
+    sdf, points = saved
+    _, vjp_fn = jax.vjp(
+        lambda s, p: bilinear_lookup_mxu(s, p, res_, x_lims, y_lims),
+        sdf, points,
+    )
+    return vjp_fn(cot)
+
+
+bilinear_lookup_pallas.defvjp(_fwd, _bwd)

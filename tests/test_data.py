@@ -64,3 +64,33 @@ def test_image_png_roundtrip_thresholding(tmp_path):
     if loaded.ndim > 2:
         loaded = loaded[..., :3] @ np.array([0.299, 0.587, 0.114])
     np.testing.assert_array_equal(np.asarray(loaded > 0.75, float), im)
+
+
+def test_angles():
+    import jax.numpy as jnp
+
+    from dgpmp2_tpu.utils import angles
+
+    a = jnp.asarray([0.0, np.pi, -np.pi, 3 * np.pi, -0.1])
+    n = np.asarray(angles.normalize_angle(a))
+    assert np.all(n <= np.pi + 1e-12) and np.all(n > -np.pi - 1e-12)
+    np.testing.assert_allclose(
+        float(angles.angular_distance(0.1, -0.1)), -0.2, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(angles.angular_distance(3.0, -3.0)), 2 * np.pi - 6.0, atol=1e-6
+    )
+
+
+def test_generate_im_dataset(tmp_path):
+    from dgpmp2_tpu.data import generate_im
+
+    generate_im.generate(str(tmp_path), "multi_obstacle", 32, 3, 1, seed=0)
+    import yaml
+
+    with open(tmp_path / "train" / "meta.yaml") as fp:
+        meta = yaml.safe_load(fp)
+    assert meta["num_envs"] == 3
+    sdf = np.load(tmp_path / "train" / "im_sdf" / "0_sdf.npy")
+    assert sdf.shape == (32, 32)
+    assert sdf.min() < 0 < sdf.max()  # signed field with obstacles

@@ -1,0 +1,114 @@
+"""High-level planner API: reference-config loading, step/plan semantics."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgpmp2_tpu.ops import sdf as sdf_ops
+from dgpmp2_tpu.planner import DiffGPMP2Planner, GPMP2Planner
+from dgpmp2_tpu.robots import make_robot
+from dgpmp2_tpu.utils.config import load_params, spec_from_params
+from dgpmp2_tpu.utils.trajectory import straight_line_traj
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "dgpmp2_tpu", "configs")
+
+
+def _load():
+    return load_params(
+        os.path.join(CFG, "gpmp2_2d_params.yaml"),
+        os.path.join(CFG, "robot_2d.yaml"),
+        os.path.join(CFG, "env_2d_params.yaml"),
+    )
+
+
+def _world(imsize=48):
+    img = np.ones((imsize, imsize))
+    img[18:30, 18:30] = 0.0
+    return sdf_ops.sdf_from_occupancy(
+        jnp.asarray(img, jnp.float64), res=10.0 / imsize
+    )
+
+
+def test_reference_yaml_roundtrip():
+    env, pp, gp, obs, opt, robot_data = _load()
+    assert pp["total_time_step"] == 100
+    assert float(obs["cost_sigma"]) > 0
+    robot = make_robot(robot_data)
+    assert robot.sphere_radii == (0.4,)
+    spec = spec_from_params(pp, env, robot)
+    assert spec.M == 509 and spec.N == 404
+
+
+def test_diff_planner_step_matches_manual_gn():
+    env, pp, gp, obs, opt, robot_data = _load()
+    pp = dict(pp, total_time_step=15)
+    robot = make_robot(robot_data)
+    planner = DiffGPMP2Planner(
+        gp, obs, pp, opt, {"x_lims": env["x_lims"], "y_lims": env["y_lims"]},
+        robot, dtype=jnp.float64,
+    )
+    sdf = _world()[None]
+    start = jnp.asarray([[-4.0, -4.0, 0.0, 0.0]], jnp.float64)
+    goal = jnp.asarray([[4.0, 4.0, 0.0, 0.0]], jnp.float64)
+    th = straight_line_traj(start[:, :2], goal[:, :2], 10.0, 15)
+
+    dth, err, err_ext, params = planner.step(th, start, goal, sdf)
+    assert dth.shape == th.shape
+    # err == err_ext when covariances aren't overridden (same weights).
+    np.testing.assert_allclose(np.asarray(err), np.asarray(err_ext), rtol=1e-12)
+
+    # step with learned-style overrides changes err but not err_ext weights.
+    qc = jnp.broadcast_to(2.0 * jnp.eye(2), (1, 15, 2, 2))
+    dth2, err2, err_ext2, _ = planner.step(th, start, goal, sdf, qc_inv_traj=qc)
+    assert not np.allclose(np.asarray(dth), np.asarray(dth2))
+    np.testing.assert_allclose(np.asarray(err_ext2), np.asarray(err_ext), rtol=1e-12)
+
+
+def test_plan_vs_manual_step_loop_parity():
+    env, pp, gp, obs, opt, robot_data = _load()
+    pp = dict(pp, total_time_step=12)
+    opt = dict(opt, max_iters=6, tol_delta=0.0)  # fixed trip count
+    robot = make_robot(robot_data)
+    planner = DiffGPMP2Planner(
+        gp, obs, pp, opt, {"x_lims": env["x_lims"], "y_lims": env["y_lims"]},
+        robot, dtype=jnp.float64,
+    )
+    sdf = _world()[None]
+    start = jnp.asarray([[-4.0, -4.0, 0.0, 0.0]], jnp.float64)
+    goal = jnp.asarray([[4.0, 4.0, 0.0, 0.0]], jnp.float64)
+    th = straight_line_traj(start[:, :2], goal[:, :2], 10.0, 12)
+
+    result = planner.plan(th, start, goal, sdf)
+    th_manual = th
+    for _ in range(6):
+        dth, _, _, _ = planner.step(th_manual, start, goal, sdf)
+        th_manual = th_manual + dth
+    np.testing.assert_allclose(
+        np.asarray(result.th), np.asarray(th_manual), rtol=1e-9, atol=1e-10
+    )
+
+
+def test_classic_planner_wall_clock_budget():
+    env, pp, gp, obs, opt, robot_data = _load()
+    pp = dict(pp, total_time_step=12)
+    robot = make_robot(robot_data)
+    planner = GPMP2Planner(
+        gp, obs, pp, {"x_lims": env["x_lims"], "y_lims": env["y_lims"]}, robot
+    )
+    sdf = _world()
+    start = jnp.asarray([-4.0, -4.0, 0.0, 0.0], jnp.float64)
+    goal = jnp.asarray([4.0, 4.0, 0.0, 0.0], jnp.float64)
+    th0 = straight_line_traj(start[None, :2], goal[None, :2], 10.0, 12)[0]
+    import time
+
+    t0 = time.time()
+    th, e0, ef, trace, iters, tt = planner.plan(
+        start, goal, th0, sdf,
+        {"method": "gauss_newton", "plan_time": 0.5, "max_iters": 10_000,
+         "tol_err": 0.0, "tol_delta": 0.0, "reg": 0.1},
+    )
+    assert time.time() - t0 < 30  # budget honored (first call compiles)
+    assert iters < 10_000
+    assert ef < e0
