@@ -17,6 +17,7 @@ path.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dgpmp2_tpu.core import factors, graph as graph_lib
@@ -101,6 +102,30 @@ def assemble_dense(spec, robot, params, th, sdf):
             A = A.at[r0 : r0 + spec.dof, i * d : (i + 1) * d].set(h_vel[i])
             b = b.at[r0 : r0 + spec.dof].set(r_vel[i])
             K = K.at[r0 : r0 + spec.dof, r0 : r0 + spec.dof].set(params.vel_inv[i])
+        off += tn * spec.dof
+
+    if spec.use_gp_inter:
+        # Binary interpolated obstacle rows: H_t = h·Λ_k, H_{t+1} = h·Ψ_k.
+        from dgpmp2_tpu.core import graph as graph_lib
+
+        res = graph_lib.eval_residuals(
+            spec, robot, jax.tree.map(lambda x: x[None], params),
+            th[None], sdf[None],
+        )
+        lam_m, psi_m = factors.gp_interp_coeffs(spec.dof, spec.dt,
+                                                spec.num_inter, dtype)
+        r_i = res.r_obsi[0]  # (T, nip, L)
+        h_i = res.h_obsi[0]  # (T, nip, L, D)
+        nip = spec.num_inter
+        for t_seg in range(spec.num_gp_factors):
+            for k in range(nip):
+                r0 = off + (t_seg * nip + k) * l
+                h_t = h_i[t_seg, k] @ lam_m[k]
+                h_t1 = h_i[t_seg, k] @ psi_m[k]
+                A = A.at[r0 : r0 + l, t_seg * d : (t_seg + 1) * d].set(h_t)
+                A = A.at[r0 : r0 + l, (t_seg + 1) * d : (t_seg + 2) * d].set(h_t1)
+                b = b.at[r0 : r0 + l].set(r_i[t_seg, k])
+                K = K.at[r0 : r0 + l, r0 : r0 + l].set(params.obs_inv[t_seg])
 
     return A, b, K
 

@@ -126,13 +126,80 @@ def hinge_obstacle_residual(
     d, grad = sdf_ops.lookup(sdf, pts, res, x_lims, y_lims)
     d = d.reshape(*centers.shape[:-3], t, l)
     grad = grad.reshape(*centers.shape[:-1], centers.shape[-1])
+    return hinge_from_lookup(d, grad, jac_fk, radii, eps)
 
+
+def hinge_from_lookup(d, grad, jac_fk, radii, eps):
+    """Hinge residual/Jacobian from precomputed SDF values & gradients.
+
+    d (..., L), grad (..., L, W), jac_fk (..., L, W, Dstate), eps (..., L).
+    Returns r (..., L), H = -∂r/∂x (..., L, Dstate).
+    """
     eps_tot = eps + radii
     active = d <= eps_tot
     r = jnp.where(active, eps_tot - d, jnp.zeros_like(d))
     h_c = jnp.where(active[..., None], grad, jnp.zeros_like(grad))
-    h = jnp.einsum("...lw,...lwd->...ld", h_c, jac_fk)
+    # Σ_w h_c[..., l, w] · J_fk[..., l, w, :] — tiny-dim contraction on VPU.
+    h = jnp.sum(h_c[..., None] * jac_fk, axis=-2)
     return r, h
+
+
+# ---------------------------------------------------------------------------
+# GP interpolation — dense collision checking between support states
+# ---------------------------------------------------------------------------
+#
+# The reference carries config plumbing for GP-interpolated obstacle
+# up-sampling (``use_gp_inter``/``total_check_step``,
+# ``gpmp2_planner.py:29-41``) but never implements it in factor evaluation
+# (SURVEY.md §5.7).  We implement the real GPMP2 mechanism: the posterior
+# mean of the CV-GP between supports is x(τ) = Λ(τ)·x_i + Ψ(τ)·x_{i+1},
+# and obstacle factors at interpolated states become *binary* factors whose
+# Jacobians chain through Λ/Ψ — still block-tridiagonal, so the solver is
+# unchanged.
+
+
+def gp_interp_coeffs(dof: int, dt: float, num_inter: int, dtype=jnp.float32):
+    """Interpolation matrices Λ(τ_k), Ψ(τ_k) for τ_k = dt·k/(nip+1).
+
+    Standard CV-prior closed forms: with Q_s = S(s) ⊗ Q_c (S the 2×2
+    scalar kernel [[s³/3, s²/2], [s²/2, s]]) and Φ(s) = [[1, s], [0, 1]] ⊗ I,
+        Ψ(τ) = Q_τ Φ(Δ-τ)ᵀ Q_Δ⁻¹   (Q_c cancels)
+        Λ(τ) = Φ(τ) - Ψ(τ) Φ(Δ).
+
+    Returns (lam, psi) each (num_inter, D, D) with D = 2·dof.
+    """
+    import numpy as np
+
+    def s_mat(s):
+        return np.array([[s**3 / 3.0, s**2 / 2.0], [s**2 / 2.0, s]])
+
+    def phi2(s):
+        return np.array([[1.0, s], [0.0, 1.0]])
+
+    lam2 = []
+    psi2 = []
+    q_d_inv = np.linalg.inv(s_mat(dt))
+    for k in range(1, num_inter + 1):
+        tau = dt * k / (num_inter + 1)
+        psi = s_mat(tau) @ phi2(dt - tau).T @ q_d_inv
+        lam = phi2(tau) - psi @ phi2(dt)
+        lam2.append(lam)
+        psi2.append(psi)
+    eye = np.eye(dof)
+    lam_full = np.stack([np.kron(m, eye) for m in lam2])
+    psi_full = np.stack([np.kron(m, eye) for m in psi2])
+    return jnp.asarray(lam_full, dtype), jnp.asarray(psi_full, dtype)
+
+
+def gp_interpolate(th: jnp.ndarray, lam: jnp.ndarray, psi: jnp.ndarray):
+    """Interpolated states x(τ_k) for every GP segment.
+
+    th (..., T+1, D); lam/psi (nip, D, D).  Returns (..., T, nip, D).
+    """
+    x_i = th[..., :-1, None, None, :]  # (..., T, 1, 1, D)
+    x_j = th[..., 1:, None, None, :]
+    # lam (nip, D, D) broadcast against (..., T, 1, 1, D) -> sum over cols.
+    return jnp.sum(lam * x_i, axis=-1) + jnp.sum(psi * x_j, axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,10 @@ class PlanResult(NamedTuple):
     err_per_iter: jnp.ndarray  # (iters, B) weighted error trace
     err_ext_per_iter: jnp.ndarray  # (iters, B) external error trace
     iters: jnp.ndarray  # (B,) iterations actually used per problem
+    # Best non-colliding trajectory by GP-MSE seen along the optimization
+    # (``test_planner.py:253-262``); equals `th` when none was non-colliding.
+    best_th: Optional[jnp.ndarray] = None
+    best_valid: Optional[jnp.ndarray] = None  # (B,) bool
 
 
 def damped_system(diag, off, rhs, delta, trust_region: bool = False):
@@ -120,6 +124,7 @@ def plan(
     cfg: OptimConfig,
     params_fix: Optional[graph_lib.GraphParams] = None,
     unroll: int = 1,
+    track_best: bool = False,
 ) -> PlanResult:
     """Full batched plan: ``lax.scan`` of GN/LM steps with convergence freeze.
 
@@ -169,8 +174,15 @@ def plan(
     err0 = weighted_err(res0)
     static = graph_lib.assemble_static(spec, params, dtype)
 
+    def best_score(res):
+        """GP-MSE if non-colliding on the interior, else +inf
+        (``test_planner.py:253-262``)."""
+        colliding = jnp.any(res.r_obs[..., 1:-1, :] > 0, axis=(-2, -1))
+        gp_mse = jnp.mean(jnp.sum(res.r_gp**2, -1), axis=-1)
+        return jnp.where(colliding, jnp.inf, gp_mse)
+
     def body(carry, _):
-        th, res, err_old, conv, lam, iters = carry
+        th, res, err_old, conv, lam, iters, best = carry
         delta = lam if lm else jnp.asarray(cfg.reg, dtype)
         diag, off, rhs = graph_lib.assemble_from_residuals(
             spec, params, res, dtype=dtype, static=static
@@ -191,16 +203,30 @@ def plan(
         conv_next = conv | _converged(dth, err_next - err_old, cfg)
         iters = iters + (~conv).astype(jnp.int32)
         err_ext = ext_err(res_next)  # residual reuse: no extra SDF lookup
-        return (th_next, res_next, err_next, conv_next, lam, iters), (
+        if track_best:
+            best_th, best_s = best
+            s = lax.stop_gradient(best_score(res_next))
+            better = s < best_s
+            best = (
+                jnp.where(better[:, None, None], th_next, best_th),
+                jnp.minimum(s, best_s),
+            )
+        return (th_next, res_next, err_next, conv_next, lam, iters, best), (
             err_next, err_ext,
         )
 
     lam0 = jnp.full((b,), cfg.lm_lambda_init, dtype)
+    best0 = (th_init, lax.stop_gradient(best_score(res0))) if track_best else ()
     init = (th_init, res0, err0, jnp.zeros((b,), bool), lam0,
-            jnp.zeros((b,), jnp.int32))
-    (th, _, err_final, _, _, iters), (errs, errs_ext) = lax.scan(
+            jnp.zeros((b,), jnp.int32), best0)
+    (th, _, err_final, _, _, iters, best), (errs, errs_ext) = lax.scan(
         body, init, None, length=cfg.max_iters, unroll=unroll
     )
+    best_th = best_valid = None
+    if track_best:
+        best_th, best_s = best
+        best_valid = jnp.isfinite(best_s)
+        best_th = jnp.where(best_valid[:, None, None], best_th, th)
     return PlanResult(
         th=th,
         err_init=err0,
@@ -208,4 +234,6 @@ def plan(
         err_per_iter=errs,
         err_ext_per_iter=errs_ext,
         iters=iters,
+        best_th=best_th,
+        best_valid=best_valid,
     )

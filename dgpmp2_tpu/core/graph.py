@@ -35,6 +35,7 @@ from jax import lax
 from flax import struct
 
 from dgpmp2_tpu.core import factors
+from dgpmp2_tpu.ops import sdf as sdf_ops
 from dgpmp2_tpu.robots import RobotModel
 
 # Tiny-dim contractions written as explicit broadcast-multiply-reduce so
@@ -74,6 +75,12 @@ class GraphSpec:
     y_lims: Tuple[float, float] = (-5.0, 5.0)
     non_holonomic: bool = False
     use_vel_limits: bool = False
+    # GP-interpolated dense collision checking: `num_inter` obstacle checks
+    # per GP segment at the CV-GP posterior mean (the mechanism the
+    # reference only stubs out via use_gp_inter/total_check_step,
+    # gpmp2_planner.py:29-41; SURVEY.md §5.7).
+    use_gp_inter: bool = False
+    num_inter: int = 3
 
     @property
     def num_traj_states(self) -> int:
@@ -96,6 +103,8 @@ class GraphSpec:
             m += self.num_traj_states
         if self.use_vel_limits:
             m += self.dof * self.num_traj_states
+        if self.use_gp_inter:
+            m += self.num_gp_factors * self.num_inter * self.nlinks
         return m
 
     @property
@@ -157,6 +166,8 @@ class FactorResiduals(struct.PyTreeNode):
     h_dyn: Optional[jnp.ndarray] = None  # (B, T+1, D)
     r_vel: Optional[jnp.ndarray] = None  # (B, T+1, dof)
     h_vel: Optional[jnp.ndarray] = None  # (B, T+1, dof, D)
+    r_obsi: Optional[jnp.ndarray] = None  # (B, T, nip, L) interp hinge
+    h_obsi: Optional[jnp.ndarray] = None  # (B, T, nip, L, D) wrt interp state
 
 
 def eval_residuals(
@@ -172,10 +183,40 @@ def eval_residuals(
     r_s = factors.prior_residual(params.start, th[..., 0, :])
     r_g = factors.prior_residual(params.goal, th[..., -1, :])
     centers, jac_fk = robot.fk(th)
-    r_obs, h_obs = factors.hinge_obstacle_residual(
-        centers, jac_fk, robot.radii_array(dtype), params.eps, sdf,
-        spec.res(sdf.shape[-1]), spec.x_lims, spec.y_lims,
-    )
+    r_obsi = h_obsi = None
+    if spec.use_gp_inter:
+        # One fused SDF lookup covers support AND interpolated states.
+        lam, psi = factors.gp_interp_coeffs(spec.dof, spec.dt,
+                                            spec.num_inter, dtype)
+        th_tau = factors.gp_interpolate(th, lam, psi)  # (B, T, nip, D)
+        centers_i, jac_fk_i = robot.fk(th_tau)  # (B, T, nip, L, 2[, D])
+        b_shape = th.shape[:-2]
+        tn, t, nip, l = (spec.num_traj_states, spec.num_gp_factors,
+                         spec.num_inter, spec.nlinks)
+        pts = jnp.concatenate(
+            [centers.reshape(*b_shape, tn * l, 2),
+             centers_i.reshape(*b_shape, t * nip * l, 2)], axis=-2,
+        )
+        d_all, grad_all = sdf_ops.lookup(
+            sdf, pts, spec.res(sdf.shape[-1]), spec.x_lims, spec.y_lims
+        )
+        d_m = d_all[..., : tn * l].reshape(*b_shape, tn, l)
+        g_m = grad_all[..., : tn * l, :].reshape(*b_shape, tn, l, 2)
+        d_i = d_all[..., tn * l :].reshape(*b_shape, t, nip, l)
+        g_i = grad_all[..., tn * l :, :].reshape(*b_shape, t, nip, l, 2)
+        radii = robot.radii_array(dtype)
+        r_obs, h_obs = factors.hinge_from_lookup(
+            d_m, g_m, jac_fk, radii, params.eps
+        )
+        eps_i = params.eps[..., :-1, None, :]  # left-support margin
+        r_obsi, h_obsi = factors.hinge_from_lookup(
+            d_i, g_i, jac_fk_i, radii, eps_i
+        )
+    else:
+        r_obs, h_obs = factors.hinge_obstacle_residual(
+            centers, jac_fk, robot.radii_array(dtype), params.eps, sdf,
+            spec.res(sdf.shape[-1]), spec.x_lims, spec.y_lims,
+        )
     r_dyn = h_dyn = r_vel = h_vel = None
     if spec.non_holonomic:
         r_dyn, h_dyn = factors.nonholonomic_residual(th)
@@ -183,7 +224,8 @@ def eval_residuals(
         r_vel, h_vel = factors.velocity_limit_residual(th, params.v_lim, spec.dof)
     return FactorResiduals(r_gp=r_gp, r_s=r_s, r_g=r_g, r_obs=r_obs,
                            h_obs=h_obs, r_dyn=r_dyn, h_dyn=h_dyn,
-                           r_vel=r_vel, h_vel=h_vel)
+                           r_vel=r_vel, h_vel=h_vel,
+                           r_obsi=r_obsi, h_obsi=h_obsi)
 
 
 class StaticBlocks(struct.PyTreeNode):
@@ -292,6 +334,39 @@ def assemble_from_residuals(
         )
         rhs = rhs + jnp.sum(lam_hv * r_vel[..., None], axis=-2)
 
+    # --- GP-interpolated obstacle factors (binary: couple x_t, x_{t+1}) --
+    if spec.use_gp_inter:
+        # H wrt supports chains through the interpolation matrices:
+        #   H_t = h·Λ_k, H_{t+1} = h·Ψ_k  ->  a_L = Λᵀhᵀ, a_P = Ψᵀhᵀ.
+        lam_m, psi_m = factors.gp_interp_coeffs(
+            spec.dof, spec.dt, spec.num_inter, dtype
+        )
+        h_i = res.h_obsi  # (B, T, nip, L, D) wrt interpolated state
+        lam_t = jnp.swapaxes(lam_m, -1, -2)[:, None, :, :]  # (nip,1,D,D)
+        psi_t = jnp.swapaxes(psi_m, -1, -2)[:, None, :, :]
+        a_l = jnp.sum(lam_t * h_i[..., None, :], axis=-1)  # (B,T,nip,L,D)
+        a_p = jnp.sum(psi_t * h_i[..., None, :], axis=-1)
+        w = params.obs_inv[..., :-1, None, :, :]  # left-support Λ_obs
+        lam_al = jnp.sum(w[..., :, :, None] * a_l[..., None, :, :], axis=-2)
+        lam_ap = jnp.sum(w[..., :, :, None] * a_p[..., None, :, :], axis=-2)
+        lam_r = jnp.sum(w * res.r_obsi[..., None, :], axis=-1)  # (B,T,nip,L)
+        # Sum over (nip, L).
+        diag = diag.at[..., :-1, :, :].add(
+            jnp.sum(a_l[..., :, None] * lam_al[..., None, :], axis=(-4, -3))
+        )
+        diag = diag.at[..., 1:, :, :].add(
+            jnp.sum(a_p[..., :, None] * lam_ap[..., None, :], axis=(-4, -3))
+        )
+        off = off + jnp.sum(
+            a_l[..., :, None] * lam_ap[..., None, :], axis=(-4, -3)
+        )
+        rhs = rhs.at[..., :-1, :].add(
+            jnp.sum(a_l * lam_r[..., None], axis=(-3, -2))
+        )
+        rhs = rhs.at[..., 1:, :].add(
+            jnp.sum(a_p * lam_r[..., None], axis=(-3, -2))
+        )
+
     return diag, off, rhs
 
 
@@ -334,6 +409,12 @@ def error_from_residuals(
     if spec.use_vel_limits:
         err += 0.5 * jnp.sum(
             _mv(params.vel_inv, res.r_vel) * res.r_vel, axis=(-2, -1)
+        )
+    if spec.use_gp_inter:
+        w = obs_inv[..., :-1, None, :, :]
+        err += 0.5 * jnp.sum(
+            jnp.sum(w * res.r_obsi[..., None, :], axis=-1) * res.r_obsi,
+            axis=(-3, -2, -1),
         )
     return err / spec.M
 

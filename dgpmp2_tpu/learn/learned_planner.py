@@ -35,6 +35,8 @@ class LearnedPlannerConfig:
     learn_eps: bool = False
     sdf_predict: bool = True  # feed (im, sdf) vs im only
     fixed_conv: bool = False  # conv features computed once per problem
+    dtheta_predict: bool = False  # feed previous GN update to the head
+    # (``dtheta_predict``, diff_gpmp2_planner.py:57,198)
     model_type: str = "feed_forward"  # feed_forward | rnn_gru | rnn_lstm
     hidden_dim: int = 64
     num_hidden: int = 1
@@ -79,12 +81,23 @@ class LearnedDiffGPMP2Planner:
 
     # -- variable init -----------------------------------------------------
 
+    def _head_pos(self, th, dth_prev=None):
+        pos = traj_positions_flat(th).astype(self.learn_cfg.dtype)
+        if self.learn_cfg.dtheta_predict:
+            if dth_prev is None:
+                dth_prev = jnp.zeros_like(th)
+            pos = jnp.concatenate(
+                [pos, traj_positions_flat(dth_prev).astype(self.learn_cfg.dtype)],
+                axis=-1,
+            )
+        return pos
+
     def init_variables(self, rng, im_stack, th):
         """Initialize flax variables; im_stack (B, H, W, C), th (B, T+1, D)."""
         r1, r2, r3 = jax.random.split(rng, 3)
         conv_vars = self.conv.init(r1, im_stack, train=False)
         feats = self.conv.apply(conv_vars, im_stack, train=False)
-        pos = traj_positions_flat(th)
+        pos = self._head_pos(th)
         if self.recurrent:
             hidden = self.init_hidden(r3, th.shape[0], feats.shape[-1] + pos.shape[-1])
             head_vars = self.head.init(r2, feats, pos, hidden)
@@ -122,12 +135,15 @@ class LearnedDiffGPMP2Planner:
         train: bool = False,
         rng=None,
         mutable: bool = False,
+        dth_prev=None,
     ):
         """Head forward + covariance decode.
 
         Returns (covs: DecodedCovariances, new_hidden, new_head_state).
+        When ``dtheta_predict`` is on, the previous GN update's positions are
+        appended to the trajectory input (``diff_gpmp2_planner.py:198``).
         """
-        pos = traj_positions_flat(th).astype(self.learn_cfg.dtype)
+        pos = self._head_pos(th, dth_prev)
         kwargs = {}
         if rng is not None:
             kwargs["rngs"] = {"dropout": rng}
@@ -173,6 +189,7 @@ class LearnedDiffGPMP2Planner:
         hidden=None,
         train: bool = False,
         rng=None,
+        dth_prev=None,
     ):
         """One learned GN iteration (``diff_gpmp2_planner.py:176-211``).
 
@@ -181,7 +198,8 @@ class LearnedDiffGPMP2Planner:
         ``fixed_conv``; recompute per step otherwise).
         """
         covs, new_hidden, _ = self.predict(
-            variables, th, feats, hidden, train=train, rng=rng
+            variables, th, feats, hidden, train=train, rng=rng,
+            dth_prev=dth_prev,
         )
         params = self.graph_params(params_fix, covs)
         dth = gn.gn_step(
@@ -214,14 +232,15 @@ class LearnedDiffGPMP2Planner:
         feats = self.conv_features(variables, im_stack, train=False)
 
         def body(carry, _):
-            th, hid = carry
+            th, hid, dth_prev = carry
             dth, err, err_ext, _, hid = self.step(
-                variables, params_fix, th, sdf, feats, hid, train=False
+                variables, params_fix, th, sdf, feats, hid, train=False,
+                dth_prev=dth_prev,
             )
-            return (th + dth, hid), (err, err_ext)
+            return (th + dth, hid, dth), (err, err_ext)
 
-        (th, hidden), (errs, errs_ext) = jax.lax.scan(
-            body, (th_init, hidden), None, length=iters
+        (th, hidden, _), (errs, errs_ext) = jax.lax.scan(
+            body, (th_init, hidden, jnp.zeros_like(th_init)), None, length=iters
         )
         return th, errs, errs_ext, hidden
 

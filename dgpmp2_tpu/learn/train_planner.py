@@ -50,6 +50,7 @@ def build_planner(planner_params, env_data, optim_params, learn_params, robot):
         learn_eps=bool(lp["dgpmp2"].get("learn_eps", False)),
         sdf_predict=bool(lp["dgpmp2"].get("sdf_predict", True)),
         fixed_conv=bool(lp["dgpmp2"].get("fixed_conv", False)),
+        dtheta_predict=bool(lp["dgpmp2"].get("dtheta_predict", False)),
         model_type=lp["model"].get("type", "feed_forward"),
         hidden_dim=int(lp["model"].get("hidden_dim", 64)),
         num_hidden=int(lp["model"].get("num_hidden", 1)),

@@ -56,6 +56,16 @@ def spec_from_params(planner_params, env_data, robot) -> GraphSpec:
         y_lims=tuple(float(v) for v in env_data["y_lims"]),
         non_holonomic=bool(planner_params.get("non_holonomic", False)),
         use_vel_limits=bool(planner_params.get("use_vel_limits", False)),
+        use_gp_inter=bool(planner_params.get("use_gp_inter", False)),
+        # Reference schema: total_check_step counts total collision checks;
+        # checks per GP segment = total_check_step/total_time_step - 1
+        # (gpmp2_planner.py:36).
+        num_inter=max(
+            1,
+            int(planner_params.get("total_check_step",
+                                   4 * int(planner_params["total_time_step"])))
+            // int(planner_params["total_time_step"]) - 1,
+        ) if planner_params.get("use_gp_inter", False) else 3,
     )
 
 

@@ -135,3 +135,37 @@ def test_plan_jits_in_f32():
     th = run(params32, cast(th0), cast(sdfb))
     assert th.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(th)))
+
+
+def test_track_best_trajectory():
+    spec, robot, params, th0, sdfb = _setup(t=30)
+    cfg = gn.OptimConfig(reg=0.1, max_iters=40)
+    result = gn.plan(spec, robot, params, th0, sdfb, cfg, track_best=True)
+    assert result.best_th is not None
+    assert bool(np.all(np.asarray(result.best_valid)))
+    # Best tracked trajectory is non-colliding on the interior.
+    r_obs = graph.obstacle_residuals(spec, robot, params, result.best_th, sdfb)
+    assert float(jnp.max(r_obs[:, 1:-1])) == 0.0
+
+
+def test_learned_step_dtheta_predict():
+    import jax as _jax
+
+    from dgpmp2_tpu.learn.learned_planner import (
+        LearnedDiffGPMP2Planner, LearnedPlannerConfig,
+    )
+
+    spec, robot, params, th0, sdfb = _setup(b=2, t=10)
+    cast = lambda x: x.astype(jnp.float32) if x is not None else None
+    params32 = _jax.tree.map(cast, params)
+    planner = LearnedDiffGPMP2Planner(
+        spec, robot, gn.OptimConfig(reg=0.1, max_iters=4),
+        LearnedPlannerConfig(dynamics_mode="diag_identity", dtheta_predict=True),
+    )
+    im = jnp.ones((2, 64, 64), jnp.float32)
+    im_stack = planner.stack_inputs(im, cast(sdfb))
+    variables = planner.init_variables(_jax.random.PRNGKey(0), im_stack,
+                                       cast(th0))
+    th, errs, _, _ = planner.plan(variables, params32, cast(th0), cast(sdfb),
+                                  im, max_iters=3)
+    assert np.all(np.isfinite(np.asarray(th)))

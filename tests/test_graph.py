@@ -154,3 +154,84 @@ def test_m_dimension_bookkeeping():
     assert spec.N == 404
     spec_nh = graph.GraphSpec(dof=3, state_dim=6, non_holonomic=True)
     assert spec_nh.M == 6 * 102 + 101 + 101
+
+
+def test_gp_interpolation_exact_on_cv_trajectory():
+    # On a trajectory exactly consistent with the CV prior (x_{i+1} = Φ x_i),
+    # the GP posterior mean interpolation reduces to the deterministic
+    # rollout x(τ) = Φ(τ) x_i.
+    dof, dt, nip = 2, 0.5, 4
+    lam, psi = factors.gp_interp_coeffs(dof, dt, nip, jnp.float64)
+    x0 = jnp.asarray([1.0, -2.0, 0.5, 0.25])
+    phi = factors.gp_phi(dof, dt, jnp.float64)
+    x1 = phi @ x0
+    th = jnp.stack([x0, x1])[None]
+    th_tau = factors.gp_interpolate(th, lam, psi)  # (1, 1, nip, 4)
+    for k in range(nip):
+        tau = dt * (k + 1) / (nip + 1)
+        expected = factors.gp_phi(dof, tau, jnp.float64) @ x0
+        np.testing.assert_allclose(
+            np.asarray(th_tau[0, 0, k]), np.asarray(expected), atol=1e-10
+        )
+
+
+def test_gp_interp_assembly_matches_dense():
+    rng = np.random.default_rng(11)
+    spec = graph.GraphSpec(total_time_step=8, use_gp_inter=True, num_inter=3)
+    robot = PointRobot2D()
+    params, th, sdfb = _toy_problem(rng, spec, robot)
+    assert spec.M == 4 * 10 + 9 + 8 * 3
+
+    diag, off, rhs = graph.assemble(spec, robot, params, th, sdfb)
+    for i in range(th.shape[0]):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        A, b, K = dense.assemble_dense(spec, robot, p_i, th[i], sdfb[i])
+        atk = A.T @ K
+        np.testing.assert_allclose(
+            np.asarray(tridiag.btd_to_dense(diag[i], off[i])),
+            np.asarray(atk @ A), rtol=1e-8, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rhs[i]).ravel(), np.asarray(atk @ b), rtol=1e-8,
+            atol=1e-8,
+        )
+
+
+def test_gp_interp_plan_avoids_thin_obstacle():
+    # A wall thinner than the state spacing: without interpolation the
+    # support states can straddle it; interp checks push the path around.
+    import dgpmp2_tpu.core.gn as gn_mod
+    from dgpmp2_tpu.ops import sdf as sdf_ops
+    from dgpmp2_tpu.utils.trajectory import straight_line_traj
+
+    imsize = 96
+    img = np.ones((imsize, imsize))
+    img[:, 46:50] = 0.0          # thin full-height wall...
+    img[44:52, 46:50] = 1.0      # ...with a small gap at the center
+    res = 10.0 / imsize
+    sdf = sdf_ops.sdf_from_occupancy(jnp.asarray(img, jnp.float64), res=res)
+
+    def run(use_inter):
+        spec = graph.GraphSpec(total_time_step=12, use_gp_inter=use_inter,
+                               num_inter=4)
+        robot = PointRobot2D(sphere_radii=(0.2,))
+        start = jnp.asarray([[-4.0, 0.3, 0.0, 0.0]], jnp.float64)
+        goal = jnp.asarray([[4.0, 0.3, 0.0, 0.0]], jnp.float64)
+        params = graph.default_params(
+            spec, robot, start, goal, qc_inv=np.eye(2), cost_sigma=0.02,
+            epsilon_dist=0.3, k_s=0.01, k_g=0.01, dtype=jnp.float64,
+        )
+        th0 = straight_line_traj(start[:, :2], goal[:, :2], 10.0, 12)
+        result = gn_mod.plan(spec, robot, params, th0, sdf[None],
+                             gn_mod.OptimConfig(reg=0.1, max_iters=50))
+        # Dense collision check of the final path at fine resolution.
+        t_fine = jnp.linspace(0, 1, 200)
+        seg = jnp.floor(t_fine * 12).astype(int).clip(0, 11)
+        frac = (t_fine * 12 - seg)[:, None]
+        pts = (result.th[0, seg, :2] * (1 - frac) + result.th[0, seg + 1, :2] * frac)
+        d, _ = sdf_ops.bilinear_lookup(sdf[None], pts[None], res,
+                                       (-5.0, 5.0), (-5.0, 5.0))
+        return float(jnp.min(d))
+
+    clearance_with = run(True)
+    assert clearance_with > 0.15  # path clears the robot radius everywhere
