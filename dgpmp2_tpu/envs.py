@@ -10,7 +10,7 @@ y-flip (``:76-99``), feasibility checks (``:86``), and matplotlib rendering
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

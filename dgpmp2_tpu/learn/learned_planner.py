@@ -15,7 +15,7 @@ hidden carry, and the fixed external covariances used for ``err_ext``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -65,3 +65,23 @@ def one_step_loss(
 def mse_traj(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """``learn_utils.mse_traj``: sum over state dim, mean over the rest."""
     return jnp.mean(jnp.sum((pred - target) ** 2, axis=-1))
+
+
+def huber_traj(pred: jnp.ndarray, target: jnp.ndarray, delta: float = 1.0):
+    """Smooth-L1 over trajectories (``learn_utils.torch_loss('huber')``)."""
+    diff = jnp.abs(pred - target)
+    quad = jnp.minimum(diff, delta)
+    return jnp.mean(0.5 * quad**2 + delta * (diff - quad))
+
+
+def make_loss(name: str, **kwargs):
+    """Loss factory mirroring ``learn_utils.torch_loss`` (mse / mse_traj /
+    huber; the reference's NormMSELoss is dead code — wrong superclass,
+    never importable)."""
+    if name == "mse":
+        return lambda p, t: jnp.mean((p - t) ** 2)
+    if name == "mse_traj":
+        return mse_traj
+    if name == "huber":
+        return lambda p, t: huber_traj(p, t, kwargs.get("delta", 1.0))
+    raise ValueError(f"unknown loss {name!r}")

@@ -15,7 +15,7 @@ The trajectory enters as its xy positions only (``learn_module_fcn.py:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

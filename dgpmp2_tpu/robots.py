@@ -87,6 +87,84 @@ class PointRobotXYH(RobotModel):
         return centers, jac
 
 
+@dataclasses.dataclass(frozen=True)
+class PlanarArm2Link(RobotModel):
+    """Two-link planar arm, state ``[q1, q2, dq1, dq2]`` (joint space).
+
+    Goes beyond the reference's point robots (SURVEY.md §2.4 names the
+    FK interface as the extension point but ships none): real forward
+    kinematics with collision spheres distributed along both links and the
+    analytic FK Jacobian the obstacle factor chains through.  The GP prior
+    lives in joint space unchanged — only :meth:`fk` differs.
+
+    Sphere layout: ``spheres_per_link`` equally spaced centers on each link
+    (at fractions (i+1)/n of the link length), so ``nlinks = 2·n``.
+    """
+
+    dofs: int = 2
+    wksp_dim: int = 2
+    state_dim: int = 4
+    link_lengths: Tuple[float, float] = (2.5, 2.0)
+    base_xy: Tuple[float, float] = (0.0, 0.0)
+    spheres_per_link: int = 3
+    nlinks: int = 6
+    sphere_radii: Tuple[float, ...] = (0.3,) * 6
+
+    def __post_init__(self):
+        if self.nlinks != 2 * self.spheres_per_link:
+            object.__setattr__(self, "nlinks", 2 * self.spheres_per_link)
+        if len(self.sphere_radii) != self.nlinks:
+            object.__setattr__(
+                self, "sphere_radii", (self.sphere_radii[0],) * self.nlinks
+            )
+
+    def fk(self, th: jnp.ndarray):
+        l1, l2 = self.link_lengths
+        bx, by = self.base_xy
+        n = self.spheres_per_link
+        q1 = th[..., 0]
+        q12 = th[..., 0] + th[..., 1]
+        c1, s1 = jnp.cos(q1), jnp.sin(q1)
+        c12, s12 = jnp.cos(q12), jnp.sin(q12)
+
+        fracs = [(i + 1) / n for i in range(n)]
+        centers = []
+        jacs = []
+        zeros = jnp.zeros_like(c1)
+        for f in fracs:  # link 1 spheres
+            px = bx + f * l1 * c1
+            py = by + f * l1 * s1
+            centers.append(jnp.stack([px, py], -1))
+            # ∂p/∂q1 = f·l1·(-s1, c1); ∂p/∂q2 = 0; velocities don't move FK.
+            jac = jnp.stack(
+                [
+                    jnp.stack([-f * l1 * s1, zeros, zeros, zeros], -1),
+                    jnp.stack([f * l1 * c1, zeros, zeros, zeros], -1),
+                ],
+                -2,
+            )  # (..., 2, 4)
+            jacs.append(jac)
+        ex = bx + l1 * c1
+        ey = by + l1 * s1
+        for f in fracs:  # link 2 spheres
+            px = ex + f * l2 * c12
+            py = ey + f * l2 * s12
+            centers.append(jnp.stack([px, py], -1))
+            dq1x = -l1 * s1 - f * l2 * s12
+            dq1y = l1 * c1 + f * l2 * c12
+            dq2x = -f * l2 * s12
+            dq2y = f * l2 * c12
+            jac = jnp.stack(
+                [
+                    jnp.stack([dq1x, dq2x, zeros, zeros], -1),
+                    jnp.stack([dq1y, dq2y, zeros, zeros], -1),
+                ],
+                -2,
+            )
+            jacs.append(jac)
+        return jnp.stack(centers, -2), jnp.stack(jacs, -3)
+
+
 def make_robot(robot_data: dict) -> RobotModel:
     """Build a robot from the reference's robot-YAML schema.
 
@@ -96,6 +174,13 @@ def make_robot(robot_data: dict) -> RobotModel:
     radii = tuple(float(r) for r in robot_data.get("sphere_radius", [0.4]))
     rtype = robot_data.get("type", "point_robot")
     dof = int(robot_data.get("dof", 2))
+    if rtype == "planar_arm_2link":
+        return PlanarArm2Link(
+            link_lengths=tuple(robot_data.get("link_lengths", (2.5, 2.0))),
+            base_xy=tuple(robot_data.get("base_xy", (0.0, 0.0))),
+            spheres_per_link=int(robot_data.get("spheres_per_link", 3)),
+            sphere_radii=radii,
+        )
     if rtype == "point_robot_xyh" or dof == 3:
         return PointRobotXYH(sphere_radii=radii)
     return PointRobot2D(sphere_radii=radii)

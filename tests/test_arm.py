@@ -1,0 +1,94 @@
+"""PlanarArm2Link: FK Jacobian correctness + planning through the full stack."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgpmp2_tpu.core import dense, gn, graph
+from dgpmp2_tpu.ops import sdf as sdf_ops, tridiag
+from dgpmp2_tpu.robots import PlanarArm2Link
+from dgpmp2_tpu.utils.trajectory import straight_line_traj
+
+ARM = PlanarArm2Link(link_lengths=(2.5, 2.0), spheres_per_link=3,
+                     sphere_radii=(0.25,) * 6)
+
+
+def test_fk_jacobian_matches_finite_differences():
+    rng = np.random.default_rng(0)
+    th = jnp.asarray(rng.uniform(-np.pi, np.pi, (3, 5, 4)))
+    centers, jac = ARM.fk(th)
+    assert centers.shape == (3, 5, 6, 2)
+    assert jac.shape == (3, 5, 6, 2, 4)
+    h = 1e-6
+    for k in range(4):
+        dv = jnp.zeros(4).at[k].set(h)
+        cp, _ = ARM.fk(th + dv)
+        cm, _ = ARM.fk(th - dv)
+        fd = (cp - cm) / (2 * h)
+        np.testing.assert_allclose(
+            np.asarray(jac[..., k]), np.asarray(fd), atol=1e-6
+        )
+
+
+def test_fk_geometry():
+    # Arm at q = (0, pi/2): link1 along +x, link2 along +y from the elbow.
+    th = jnp.asarray([[0.0, np.pi / 2, 0.0, 0.0]])
+    centers, _ = ARM.fk(th)
+    c = np.asarray(centers[0])
+    # Last sphere of link 1 = elbow at (2.5, 0).
+    np.testing.assert_allclose(c[2], [2.5, 0.0], atol=1e-6)
+    # Tip at elbow + (0, 2.0).
+    np.testing.assert_allclose(c[5], [2.5, 2.0], atol=1e-6)
+
+
+def test_arm_assembly_matches_dense():
+    rng = np.random.default_rng(1)
+    spec = graph.GraphSpec(total_time_step=8, nlinks=ARM.nlinks)
+    img = np.ones((32, 32))
+    img[6:12, 20:26] = 0.0
+    sdf = sdf_ops.sdf_from_occupancy(jnp.asarray(img), res=10 / 32)
+    sdfb = jnp.broadcast_to(sdf, (2, 32, 32))
+    start = jnp.asarray(rng.uniform(-1, 1, (2, 4)))
+    goal = jnp.asarray(rng.uniform(-1, 1, (2, 4)))
+    params = graph.default_params(
+        spec, ARM, start, goal, qc_inv=np.eye(2), cost_sigma=0.2,
+        epsilon_dist=0.2, k_s=0.01, k_g=0.01, dtype=jnp.float64,
+    )
+    th = straight_line_traj(start[:, :2], goal[:, :2], 10.0, 8)
+    diag, off, rhs = graph.assemble(spec, ARM, params, th, sdfb)
+    for i in range(2):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        A, b, K = dense.assemble_dense(spec, ARM, p_i, th[i], sdfb[i])
+        atk = A.T @ K
+        np.testing.assert_allclose(
+            np.asarray(tridiag.btd_to_dense(diag[i], off[i])),
+            np.asarray(atk @ A), rtol=1e-8, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rhs[i]).ravel(), np.asarray(atk @ b), rtol=1e-8,
+            atol=1e-8,
+        )
+
+
+def test_arm_plans_around_obstacle():
+    spec = graph.GraphSpec(total_time_step=24, nlinks=ARM.nlinks)
+    # Obstacle in the upper-right workspace quadrant.
+    img = np.ones((64, 64))
+    img[14:26, 40:52] = 0.0
+    sdf = sdf_ops.sdf_from_occupancy(jnp.asarray(img), res=10 / 64)
+    # Sweep from arm-right to arm-up, joint space.
+    start = jnp.asarray([[-0.5, 0.4, 0.0, 0.0]])
+    goal = jnp.asarray([[1.6, 0.4, 0.0, 0.0]])
+    params = graph.default_params(
+        spec, ARM, start, goal, qc_inv=np.eye(2), cost_sigma=0.05,
+        epsilon_dist=0.2, k_s=0.01, k_g=0.01, dtype=jnp.float64,
+    )
+    th0 = straight_line_traj(start[:, :2], goal[:, :2], 10.0, 24)
+    result = gn.plan(spec, ARM, params, th0, sdf[None],
+                     gn.OptimConfig(reg=0.1, max_iters=50))
+    assert float(result.err_final[0]) < 0.1 * float(result.err_init[0])
+    # No sphere of any interior state penetrates the safety margin much.
+    r_obs = graph.obstacle_residuals(spec, ARM, params, result.th, sdf[None])
+    assert float(jnp.max(r_obs[:, 1:-1])) < 0.1
+    # Endpoints anchored in joint space.
+    np.testing.assert_allclose(np.asarray(result.th[0, 0, :2]),
+                               np.asarray(start[0, :2]), atol=1e-2)

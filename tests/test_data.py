@@ -94,3 +94,39 @@ def test_generate_im_dataset(tmp_path):
     sdf = np.load(tmp_path / "train" / "im_sdf" / "0_sdf.npy")
     assert sdf.shape == (32, 32)
     assert sdf.min() < 0 < sdf.max()  # signed field with obstacles
+
+
+def test_generate_paths_on_im_dataset(tmp_path):
+    import jax.numpy as jnp
+
+    from dgpmp2_tpu.core import gn, graph
+    from dgpmp2_tpu.data import generate_im, generate_paths
+    from dgpmp2_tpu.robots import PointRobot2D
+
+    generate_im.generate(str(tmp_path), "multi_obstacle", 48, 2, 0, seed=1)
+    spec = graph.GraphSpec(total_time_step=16)
+    cfg = gn.OptimConfig(reg=0.1, max_iters=25)
+    cov = dict(qc_inv=np.eye(2), cost_sigma=0.1, epsilon_dist=0.3,
+               k_s=0.01, k_g=0.01)
+    n = generate_paths.add_expert_paths(
+        str(tmp_path / "train"), 2, "diagonal", spec, PointRobot2D(sphere_radii=(0.3,)),
+        cfg, cov, np.random.default_rng(0),
+    )
+    assert n == 2
+    dset = ds.PlanningDataset(str(tmp_path), mode="train")
+    assert len(dset) == 4
+    s = dset[0]
+    assert s["th_opt"].shape == (17, 4)
+
+
+def test_loss_factory():
+    import jax.numpy as jnp
+
+    from dgpmp2_tpu.learn.losses import make_loss
+
+    p = jnp.asarray([[0.0, 3.0]])
+    t = jnp.asarray([[0.0, 0.0]])
+    assert float(make_loss("mse")(p, t)) == 4.5
+    assert float(make_loss("mse_traj")(p, t)) == 9.0
+    # huber: |3| with delta 1 -> 0.5 + 1*(3-1) = 2.5, averaged over 2 -> 1.25
+    np.testing.assert_allclose(float(make_loss("huber")(p, t)), 1.25)
