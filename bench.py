@@ -12,7 +12,18 @@ Prints ONE JSON line:
 import json
 import time
 
+import os
+
 import jax
+
+# Persistent compilation cache: the plan-loop graph takes minutes to compile
+# on the tunneled backend; cache hits make repeat runs fast.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(__file__), ".jax_cache")),
+)
+
 import jax.numpy as jnp
 import numpy as np
 
