@@ -459,6 +459,36 @@ def unweighted_errors(
     )
 
 
+def linear_error(
+    spec: GraphSpec,
+    robot: RobotModel,
+    params: GraphParams,
+    th: jnp.ndarray,
+    sdf: jnp.ndarray,
+) -> jnp.ndarray:
+    """Stacked residual vector ``b`` (B, M) in the reference's row layout.
+
+    ``PlanLayer.linear_error`` (``plan_layer.py:347-372``): start prior rows,
+    GP rows, goal prior rows, obstacle rows, then optional
+    nonholonomic / velocity / interpolated rows.
+    """
+    res = eval_residuals(spec, robot, params, th, sdf)
+    batch = res.r_gp.shape[:-2]
+    parts = [
+        res.r_s,
+        res.r_gp.reshape(*batch, -1),
+        res.r_g,
+        res.r_obs.reshape(*batch, -1),
+    ]
+    if spec.non_holonomic:
+        parts.append(res.r_dyn)
+    if spec.use_vel_limits:
+        parts.append(res.r_vel.reshape(*batch, -1))
+    if spec.use_gp_inter:
+        parts.append(res.r_obsi.reshape(*batch, -1))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def obstacle_residuals(spec, robot, params, th, sdf):
     """Raw per-state hinge residuals (B, T+1, L) — used by collision metrics."""
     centers, jac_fk = robot.fk(th)

@@ -45,8 +45,37 @@ def make_mesh(devices: Optional[Sequence] = None, model_parallel: int = 1) -> Me
     return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
 
 
+def make_multihost_mesh(model_parallel: int = 1) -> Mesh:
+    """3-axis ``(dcn, data, model)`` mesh for multi-host deployments.
+
+    The outer ``dcn`` axis spans hosts (slow network — keep only
+    data-parallel traffic on it: gradient all-reduce once per step), while
+    ``data``/``model`` stay within each host's ICI domain.  Shard batches
+    over ``("dcn", "data")`` jointly and parameters over ``model`` —
+    GSPMD then routes TP collectives over ICI and only the gradient
+    reduction over DCN.
+
+    On a single host this degenerates to ``(1, data, model)`` and is
+    equivalent to :func:`make_mesh`.
+    """
+    n_proc = jax.process_count()
+    local = [d for d in jax.devices()]
+    n = len(local)
+    per_host = n // n_proc
+    if per_host % model_parallel:
+        raise ValueError(
+            f"{per_host} devices/host not divisible by model_parallel={model_parallel}"
+        )
+    arr = np.array(local).reshape(n_proc, per_host // model_parallel,
+                                  model_parallel)
+    return Mesh(arr, axis_names=("dcn", DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis sharding over the ``data`` mesh axis."""
+    """Leading-axis sharding over the data axes (``("dcn", "data")`` when a
+    multi-host mesh is used, else ``"data"``)."""
+    if "dcn" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn", DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

@@ -200,6 +200,16 @@ class DiffGPMP2Planner:
             jnp.asarray(th, self.dtype), jnp.asarray(sdf, self.dtype),
         )
 
+    def linear_error(self, th, start, goal, sdf):
+        """Stacked residual vector (B, M) (``PlanLayer.linear_error``,
+        ``plan_layer.py:347-372``; batched unlike the reference's per-sample
+        loop at ``diff_gpmp2_planner.py:236-243``)."""
+        params = self.make_params(start, goal)
+        return graph.linear_error(
+            self.spec, self.robot, params,
+            jnp.asarray(th, self.dtype), jnp.asarray(sdf, self.dtype),
+        )
+
     def unweighted_errors_batch(self, th, start, goal, sdf):
         params = self.make_params(start, goal)
         return graph.unweighted_errors(

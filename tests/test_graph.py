@@ -235,3 +235,17 @@ def test_gp_interp_plan_avoids_thin_obstacle():
 
     clearance_with = run(True)
     assert clearance_with > 0.15  # path clears the robot radius everywhere
+
+
+def test_linear_error_matches_dense_b():
+    rng = np.random.default_rng(13)
+    spec = graph.GraphSpec(total_time_step=7, use_vel_limits=True)
+    robot = PointRobot2D()
+    params, th, sdfb = _toy_problem(rng, spec, robot)
+    b_blk = graph.linear_error(spec, robot, params, th, sdfb)
+    assert b_blk.shape == (2, spec.M)
+    for i in range(2):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        A, b, K = dense.assemble_dense(spec, robot, p_i, th[i], sdfb[i])
+        np.testing.assert_allclose(np.asarray(b_blk[i]), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12)

@@ -98,3 +98,12 @@ def test_tp_mesh_learned_train_step():
     assert wide, "head Dense_0 kernel not found"
     _, kern = wide[0]
     assert not kern.sharding.is_fully_replicated
+
+
+def test_multihost_mesh_single_process():
+    mesh = sharding.make_multihost_mesh(model_parallel=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert mesh.devices.shape == (1, len(jax.devices()) // 2, 2)
+    s = sharding.batch_sharding(mesh)
+    x = jax.device_put(jnp.zeros((8, 4)), s)
+    assert not x.sharding.is_fully_replicated
