@@ -589,6 +589,11 @@ def _use_pallas(diag):
 
 def btd_solve_auto(diag, off, rhs):
     if _use_pallas(diag):
+        # The streaming full-batch kernel (btd_stream) measures faster in
+        # isolation (0.61 vs 0.75 ms at B=1024, T=101) but REGRESSES the
+        # full plan loop to 3.7 ms: its (B,T,DD)->(T,DD,8,128) layout
+        # transposes materialize inside the scan.  Until assembly emits the
+        # streaming layout natively, the tiled kernel stays the default.
         from dgpmp2_tpu.ops.pallas.btd_solve import btd_solve_pallas
 
         return btd_solve_pallas(diag, off, rhs)

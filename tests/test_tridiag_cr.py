@@ -50,3 +50,42 @@ def test_auto_dispatch():
     back = tridiag.btd_matvec(diag, off, x)
     np.testing.assert_allclose(np.asarray(back), np.asarray(rhs), rtol=1e-7,
                                atol=1e-8)
+
+
+@pytest.mark.parametrize("b,t,chunk", [(5, 9, 4), (130, 13, 16), (64, 101, 16)])
+def test_stream_matches_thomas(b, t, chunk):
+    from dgpmp2_tpu.ops.pallas.btd_stream import btd_solve_stream
+
+    rng = np.random.default_rng(b + t)
+    diag = rng.standard_normal((b, t, 4, 4))
+    diag = (diag @ np.swapaxes(diag, -1, -2) + 16 * np.eye(4)).astype(np.float32)
+    off = (0.3 * rng.standard_normal((b, t - 1, 4, 4))).astype(np.float32)
+    rhs = rng.standard_normal((b, t, 4)).astype(np.float32)
+    x_ref = tridiag.btd_solve(jnp.asarray(diag), jnp.asarray(off), jnp.asarray(rhs))
+    x_str = btd_solve_stream(jnp.asarray(diag), jnp.asarray(off),
+                             jnp.asarray(rhs), True, chunk)
+    np.testing.assert_allclose(np.asarray(x_str), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_stream_vjp_matches_thomas():
+    from dgpmp2_tpu.ops.pallas.btd_stream import btd_solve_stream
+
+    rng = np.random.default_rng(5)
+    b, t = 6, 11
+    diag = rng.standard_normal((b, t, 4, 4))
+    diag = (diag @ np.swapaxes(diag, -1, -2) + 16 * np.eye(4)).astype(np.float32)
+    off = (0.3 * rng.standard_normal((b, t - 1, 4, 4))).astype(np.float32)
+    rhs = rng.standard_normal((b, t, 4)).astype(np.float32)
+    cot = jnp.asarray(rng.standard_normal((b, t, 4)).astype(np.float32))
+
+    def f(solver):
+        return jax.grad(
+            lambda d_, o, r: jnp.sum(solver(d_, o, r) * cot), argnums=(0, 1, 2)
+        )(jnp.asarray(diag), jnp.asarray(off), jnp.asarray(rhs))
+
+    g_ref = f(tridiag.btd_solve)
+    g_str = f(lambda d_, o, r: btd_solve_stream(d_, o, r, True, 4))
+    for a, b_ in zip(g_ref, g_str):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
