@@ -34,14 +34,20 @@ DIST_FACTOR = 0.6  # min start-goal separation as a fraction of the diagonal
 
 
 def sample_start_goal(rng, n, x_lims, y_lims):
+    """Far-apart start/goal pairs, rejected PER PAIR (an all-or-nothing
+    batch rejection has acceptance ~p^n and stalls for n > 1)."""
     lo = np.array([x_lims[0] + 1.0, y_lims[0] + 1.0])
     hi = np.array([x_lims[1] - 1.0, y_lims[1] - 1.0])
     diag = np.hypot(x_lims[1] - x_lims[0], y_lims[1] - y_lims[0])
+    start = rng.uniform(lo, hi, size=(n, 2))
+    goal = rng.uniform(lo, hi, size=(n, 2))
     while True:
-        start = rng.uniform(lo, hi, size=(n, 2))
-        goal = rng.uniform(lo, hi, size=(n, 2))
-        if np.all(np.linalg.norm(goal - start, axis=-1) >= DIST_FACTOR * diag):
+        bad = np.linalg.norm(goal - start, axis=-1) < DIST_FACTOR * diag
+        if not np.any(bad):
             return start, goal
+        k = int(bad.sum())
+        start[bad] = rng.uniform(lo, hi, size=(k, 2))
+        goal[bad] = rng.uniform(lo, hi, size=(k, 2))
 
 
 def world_to_pix(pts, x_lims, y_lims, res):
@@ -85,6 +91,14 @@ def generate_split(
         "passage": 4 * patch_robot,
         "mixed_clutter": 2 * (patch_robot + patch_safety),
     }[family]
+
+    import jax
+
+    # jit once: eager gn.plan re-traces the whole scan on every call, which
+    # dominates generation time (tracing >> planning).
+    plan_jit = jax.jit(
+        lambda params, th0, sdfb: gn.plan(spec, robot, params, th0, sdfb, cfg)
+    )
 
     env_idx = 0
     while env_idx < num_envs:
@@ -143,7 +157,7 @@ def generate_split(
             sdfb = jnp.broadcast_to(
                 jnp.asarray(sdf_np, jnp.float32), (probs_per_env, im_size, im_size)
             )
-            result = gn.plan(spec, robot, params, th0, sdfb, cfg)
+            result = plan_jit(params, th0, sdfb)
             th = np.asarray(result.th)
             # Collision re-validation: every state must clear the robot
             # radius (``generate_2d_dataset.py:247-253``).

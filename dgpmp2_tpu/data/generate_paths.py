@@ -56,6 +56,11 @@ def add_expert_paths(
     label_subdir: str = "opt_trajs_gpmp2",
     max_retries: int = 30,
 ):
+    import jax
+
+    plan_jit = jax.jit(
+        lambda params, th0, sdfb: gn.plan(spec, robot, params, th0, sdfb, cfg)
+    )
     with open(os.path.join(subdir, "meta.yaml")) as fp:
         meta = yaml.safe_load(fp)
     num_envs = meta["num_envs"]
@@ -88,7 +93,7 @@ def add_expert_paths(
                 jnp.asarray(startb[:, :2]), jnp.asarray(goalb[:, :2]),
                 spec.total_time_sec, spec.total_time_step,
             )
-            result = gn.plan(spec, robot, params, th0, sdfb, cfg)
+            result = plan_jit(params, th0, sdfb)
             dists, _ = sdf_ops.bilinear_lookup(
                 sdfb, result.th[..., :2], res, spec.x_lims, spec.y_lims
             )

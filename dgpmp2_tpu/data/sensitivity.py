@@ -32,6 +32,11 @@ DEFAULT_SIGMAS = (0.01, 0.05, 0.1, 0.5, 1.0, 5.0, 10.0)
 
 def run_sweep(dataset, idxs, spec, robot, cfg, sigmas=DEFAULT_SIGMAS,
               batch_size=16, epsilon_dist=0.4, k_sg=0.01):
+    import jax
+
+    plan_jit = jax.jit(
+        lambda params, th0, sdfb: gn.plan(spec, robot, params, th0, sdfb, cfg).th
+    )
     results = {}
     for sigma in sigmas:
         all_m = []
@@ -47,7 +52,7 @@ def run_sweep(dataset, idxs, spec, robot, cfg, sigmas=DEFAULT_SIGMAS,
                 b["start"][:, : spec.dof], b["goal"][:, : spec.dof],
                 spec.total_time_sec, spec.total_time_step,
             ).astype(jnp.float32)
-            th = gn.plan(spec, robot, params, th0, b["sdf"], cfg).th
+            th = plan_jit(params, th0, b["sdf"])
             all_m.append(
                 evaluate_batch(spec, robot, params, th, b.get("th_opt"), b["sdf"])
             )

@@ -94,8 +94,13 @@ def run_validation(
     ``learned_step_fn`` optionally replaces the fixed-covariance plan with a
     learned rollout (signature (params_fix, th0, sdf) -> th_final).
     """
+    import jax
+
     from dgpmp2_tpu.utils.trajectory import straight_line_traj
 
+    plan_jit = jax.jit(
+        lambda params, th0, sdfb: gn.plan(spec, robot, params, th0, sdfb, cfg).th
+    )
     all_metrics = []
     for batch in batches:
         start, goal, sdf = batch["start"], batch["goal"], batch["sdf"]
@@ -109,7 +114,7 @@ def run_validation(
         if learned_step_fn is not None:
             th = learned_step_fn(params, th0, sdf)
         else:
-            th = gn.plan(spec, robot, params, th0, sdf, cfg).th
+            th = plan_jit(params, th0, sdf)
         all_metrics.append(
             evaluate_batch(spec, robot, params, th, batch.get("th_opt"), sdf)
         )

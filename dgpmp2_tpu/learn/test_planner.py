@@ -88,6 +88,10 @@ def main(argv=None):
         )
         variables = payload["state"].variables
 
+    plan_jit = jax.jit(
+        lambda params, th0, sdfb: gn.plan(spec, robot, params, th0, sdfb,
+                                          planner.cfg).th
+    )
     all_m = []
     for batch in ds.as_batches(dataset, idxs, args.batch_size):
         b = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -102,7 +106,7 @@ def main(argv=None):
             th, _, _, _ = planner.plan(variables, params_fix, th0, b["sdf"],
                                        b["im"])
         else:
-            th = gn.plan(spec, robot, params_fix, th0, b["sdf"], planner.cfg).th
+            th = plan_jit(params_fix, th0, b["sdf"])
         all_m.append(evaluate_batch(spec, robot, params_fix, th, b["th_opt"],
                                     b["sdf"]))
 

@@ -130,3 +130,16 @@ def test_loss_factory():
     assert float(make_loss("mse_traj")(p, t)) == 9.0
     # huber: |3| with delta 1 -> 0.5 + 1*(3-1) = 2.5, averaged over 2 -> 1.25
     np.testing.assert_allclose(float(make_loss("huber")(p, t)), 1.25)
+
+
+def test_sample_start_goal_multi_pair_terminates():
+    # Regression: all-or-nothing rejection of n pairs has acceptance ~p^n
+    # and effectively never terminates for n=4; per-pair rejection must
+    # return promptly with every pair far enough apart.
+    from dgpmp2_tpu.data.generate import DIST_FACTOR, sample_start_goal
+
+    rng = np.random.default_rng(0)
+    start, goal = sample_start_goal(rng, 8, (-5.0, 5.0), (-5.0, 5.0))
+    d = np.linalg.norm(goal - start, axis=-1)
+    assert np.all(d >= DIST_FACTOR * np.hypot(10, 10) - 1e-9)
+    assert start.shape == (8, 2)
