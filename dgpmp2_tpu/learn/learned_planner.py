@@ -37,6 +37,10 @@ class LearnedPlannerConfig:
     fixed_conv: bool = False  # conv features computed once per problem
     dtheta_predict: bool = False  # feed previous GN update to the head
     # (``dtheta_predict``, diff_gpmp2_planner.py:57,198)
+    # Initialize the head output so decoded covariances start at these
+    # static scalars (sqrt of the weights; see static_out_bias).  None keeps
+    # the reference's zero-ish init.
+    static_init: Optional[tuple] = None  # (qc_inv_scalar, cost_sigma[, eps])
     model_type: str = "feed_forward"  # feed_forward | rnn_gru | rnn_lstm
     hidden_dim: int = 64
     num_hidden: int = 1
@@ -61,10 +65,13 @@ class LearnedDiffGPMP2Planner:
         self.out_dim = cov_lib.out_dim(spec, learn_cfg.dynamics_mode,
                                        learn_cfg.learn_eps)
         self.conv = ConvEncoder(dtype=learn_cfg.dtype)
+        out_bias = None
+        if learn_cfg.static_init is not None:
+            out_bias = self.static_out_bias(*learn_cfg.static_init)
         if learn_cfg.model_type == "feed_forward":
             self.head = FeedForwardHead(
                 out_dim=self.out_dim, dropout_prob=learn_cfg.dropout_prob,
-                dtype=learn_cfg.dtype,
+                dtype=learn_cfg.dtype, out_bias=out_bias,
             )
         else:
             self.head = RecurrentHead(
@@ -78,6 +85,29 @@ class LearnedDiffGPMP2Planner:
     @property
     def recurrent(self) -> bool:
         return self.learn_cfg.model_type != "feed_forward"
+
+    def static_out_bias(self, qc_inv_scalar, cost_sigma, eps=0.4):
+        """Head-output bias reproducing the static covariances at init.
+
+        The decode squares outputs (``covariances.decode``), so emitting
+        sqrt(Q_c⁻¹ scalar) for the GP terms and 1/σ for the obstacle terms
+        makes the zero-features forward pass equal the fixed-covariance
+        planner.
+        """
+        import math
+
+        spec, cfg = self.spec, self.learn_cfg
+        t, tn, l = spec.num_gp_factors, spec.num_traj_states, spec.nlinks
+        mode = cfg.dynamics_mode
+        gp_val = math.sqrt(float(qc_inv_scalar))
+        obs_val = 1.0 / float(cost_sigma)
+        gp_terms = {"fix_dynamics": 0, "diag_identity": t,
+                    "diag": t * spec.dof, "qc_full": t * spec.dof,
+                    "q_full": t * spec.state_dim}[mode]
+        bias = [gp_val] * gp_terms + [obs_val] * (tn * l)
+        if cfg.learn_eps:
+            bias += [math.sqrt(float(eps))] * (tn * l)
+        return tuple(bias)
 
     # -- variable init -----------------------------------------------------
 

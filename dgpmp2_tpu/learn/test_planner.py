@@ -53,7 +53,7 @@ def main(argv=None):
     )
     robot = config_lib.make_robot(robot_data)
     planner = build_planner(planner_params, env_data, optim_params,
-                            learn_params, robot)
+                            learn_params, robot, gp_params, obs_params)
     spec = planner.spec
 
     dataset = ds.PlanningDatasetMulti(

@@ -41,10 +41,18 @@ from dgpmp2_tpu.utils import config as config_lib
 from dgpmp2_tpu.utils.trajectory import straight_line_traj
 
 
-def build_planner(planner_params, env_data, optim_params, learn_params, robot):
+def build_planner(planner_params, env_data, optim_params, learn_params, robot,
+                  gp_params=None, obs_params=None):
     spec = config_lib.spec_from_params(planner_params, env_data, robot)
     cfg = config_lib.optim_from_params(optim_params)
     lp = learn_params
+    static_init = None
+    if lp["dgpmp2"].get("static_init", False) and gp_params and obs_params:
+        import numpy as _np
+
+        static_init = (float(_np.asarray(gp_params["Q_c_inv"]).ravel()[0]),
+                       float(obs_params["cost_sigma"]),
+                       float(obs_params["epsilon_dist"]))
     lcfg = LearnedPlannerConfig(
         dynamics_mode=lp["dgpmp2"]["dynamics_mode"],
         learn_eps=bool(lp["dgpmp2"].get("learn_eps", False)),
@@ -55,6 +63,7 @@ def build_planner(planner_params, env_data, optim_params, learn_params, robot):
         hidden_dim=int(lp["model"].get("hidden_dim", 64)),
         num_hidden=int(lp["model"].get("num_hidden", 1)),
         dropout_prob=float(lp["model"].get("dropout_prob", 0.5)),
+        static_init=static_init,
     )
     return LearnedDiffGPMP2Planner(spec, robot, cfg, lcfg)
 
@@ -79,7 +88,7 @@ def main(argv=None):
     )
     robot = config_lib.make_robot(robot_data)
     planner = build_planner(planner_params, env_data, optim_params,
-                            learn_params, robot)
+                            learn_params, robot, gp_params, obs_params)
     spec = planner.spec
     opt = learn_params["optim"]
     dg = learn_params["dgpmp2"]

@@ -15,17 +15,28 @@ The trajectory enters as its xy positions only (``learn_module_fcn.py:
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 
 class FeedForwardHead(nn.Module):
+    """``out_bias`` (optional, length ``out_dim``): constant initial output.
+
+    The covariance decode squares the head output, so a zero-init head
+    starts the planner with ~zero factor weights — learning then has to
+    *recover* sane covariances before it can refine them.  Setting
+    ``out_bias`` to the square roots of the static YAML weights starts the
+    learned planner exactly AT the fixed-covariance baseline
+    (see ``LearnedDiffGPMP2Planner.static_out_bias``).
+    """
+
     out_dim: int
     hidden: Tuple[int, ...] = (1000, 640)
     dropout_prob: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    out_bias: Optional[Tuple[float, ...]] = None
 
     @nn.compact
     def __call__(self, feats, th_pos_flat, train: bool = False):
@@ -37,8 +48,20 @@ class FeedForwardHead(nn.Module):
             x = nn.LayerNorm(dtype=self.dtype)(x)
             x = nn.relu(x)
         x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
-        return nn.Dense(self.out_dim, kernel_init=nn.initializers.xavier_uniform(),
-                        dtype=self.dtype)(x)
+        if self.out_bias is not None:
+            # Zero-init the final kernel so the forward pass at init is
+            # exactly the bias (the static-covariance planner); training
+            # grows the data-dependent refinement from zero.
+            bias_init = (
+                lambda key, shape, dtype=self.dtype: jnp.asarray(self.out_bias,
+                                                                 dtype)
+            )
+            kernel_init = nn.initializers.zeros_init()
+        else:
+            bias_init = nn.initializers.zeros_init()
+            kernel_init = nn.initializers.xavier_uniform()
+        return nn.Dense(self.out_dim, kernel_init=kernel_init,
+                        bias_init=bias_init, dtype=self.dtype)(x)
 
 
 class RecurrentHead(nn.Module):

@@ -142,3 +142,29 @@ def test_train_step_decreases_loss():
         losses.append(float(metrics["loss"]))
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # overfits the fixed toy batch
+
+
+def test_static_init_head_matches_fixed_planner():
+    """With static_init the learned planner's first step equals the
+    fixed-covariance planner exactly (zero-init final kernel + sqrt-bias)."""
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=4),
+        LearnedPlannerConfig(dynamics_mode="diag_identity",
+                             static_init=(1.0, 0.1, 0.4)),
+    )
+    batch = _toy_batch()
+    rng = jax.random.PRNGKey(0)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    th0 = batch["th_opt"]
+    variables = planner.init_variables(rng, im_stack, th0)
+    params = graph.default_params(
+        SPEC, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+    feats = planner.conv_features(variables, im_stack)
+    dth_l, _, _, p_used, _ = planner.step(variables, params, th0,
+                                          batch["sdf"], feats)
+    dth_s = gn.gn_step(SPEC, ROBOT, params, th0, batch["sdf"], 0.1)
+    np.testing.assert_allclose(np.asarray(p_used.q_inv),
+                               np.asarray(params.q_inv), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dth_l), np.asarray(dth_s), atol=1e-4)
