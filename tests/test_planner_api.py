@@ -112,3 +112,62 @@ def test_classic_planner_wall_clock_budget():
     assert time.time() - t0 < 30  # budget honored (first call compiles)
     assert iters < 10_000
     assert ef < e0
+
+
+def test_train_planner_cli_smoke(tmp_path):
+    """End-to-end CLI smoke: generate -> train 1 epoch -> eval, in-process."""
+    import yaml
+
+    from dgpmp2_tpu.core import gn, graph as graph_lib
+    from dgpmp2_tpu.data import generate
+    from dgpmp2_tpu.learn import test_planner as tp_cli
+    from dgpmp2_tpu.learn import train_planner as train_cli
+    from dgpmp2_tpu.robots import PointRobot2D
+
+    spec = graph_lib.GraphSpec(total_time_step=12)
+    cov = dict(qc_inv=np.asarray(np.eye(2)), cost_sigma=0.1,
+               epsilon_dist=0.3, k_s=0.01, k_g=0.01)
+    generate.generate_split(
+        str(tmp_path / "data" / "train"), num_envs=4, probs_per_env=2,
+        family="multi_obs", im_size=32, rng=np.random.default_rng(0),
+        spec=spec, robot=PointRobot2D(),
+        cfg=gn.OptimConfig(reg=0.1, max_iters=15), cov_scalars=cov,
+    )
+    cfgdir = tmp_path / "cfg"
+    cfgdir.mkdir()
+    base = os.path.join(CFG, "gpmp2_2d_params.yaml")
+    plan = yaml.safe_load(open(base))
+    plan["gpmp2"]["planner_params"]["total_time_step"] = 12
+    plan["gpmp2"]["optim_params"]["max_iters"] = 6
+    yaml.safe_dump(plan, open(cfgdir / "plan.yaml", "w"))
+    learn = yaml.safe_load(open(os.path.join(CFG, "learn_params.yaml")))
+    learn["optim"].update(batch_size=4, epochs=1, save_epoch=1, eval_epoch=5)
+    learn["data"].update(im_size=32, valid_size=0.0)
+    learn["dgpmp2"].update(T=2, tk=2, static_init=True)
+    yaml.safe_dump(learn, open(cfgdir / "learn.yaml", "w"))
+
+    args = [
+        "--dataset_folders", str(tmp_path / "data"),
+        "--out_folder", str(tmp_path / "run"),
+        "--plan_param_file", str(cfgdir / "plan.yaml"),
+        "--robot_param_file", os.path.join(CFG, "robot_2d.yaml"),
+        "--env_param_file", os.path.join(CFG, "env_2d_params.yaml"),
+        "--learn_param_file", str(cfgdir / "learn.yaml"),
+    ]
+    state, history = train_cli.main(args)
+    assert len(history) == 1 and np.isfinite(history[0]["loss"])
+    assert (tmp_path / "run" / "checkpoints").exists()
+
+    summary = tp_cli.main([
+        "--dataset_folders", str(tmp_path / "data"),
+        "--model_folder", str(tmp_path / "run"),
+        "--out_file", str(tmp_path / "run" / "results.yaml"),
+        "--split", "all",
+        "--plan_param_file", str(cfgdir / "plan.yaml"),
+        "--robot_param_file", os.path.join(CFG, "robot_2d.yaml"),
+        "--env_param_file", os.path.join(CFG, "env_2d_params.yaml"),
+        "--learn_param_file", str(cfgdir / "learn.yaml"),
+        "--batch_size", "4",
+    ])
+    assert 0.0 <= summary["solve_rate"] <= 1.0
+    assert (tmp_path / "run" / "results.yaml").exists()
