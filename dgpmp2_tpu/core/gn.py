@@ -48,6 +48,11 @@ class OptimConfig:
     # LM lambda adaptation (``gpmp2_planner.py:92-103``): accepted steps
     # divide lambda by 10, rejected steps multiply by 10.
     lm_lambda_init: float = 1e-4
+    # Linear-system engine inside :func:`plan`:
+    #   "auto"   — standard-layout assembly + tridiag.btd_solve_auto.
+    #   "stream" — stream-layout assembly + streaming Pallas solve
+    #              (core/stream.py); fastest on TPU at large batch.
+    engine: str = "auto"
 
 
 class PlanResult(NamedTuple):
@@ -137,6 +142,10 @@ def plan(
     ``params_fix`` supplies the fixed external covariances for the
     ``err_ext`` trace; defaults to ``params``.
     """
+    if cfg.engine not in ("auto", "stream"):
+        raise ValueError(
+            f"unknown engine {cfg.engine!r}; expected 'auto' or 'stream'"
+        )
     if params_fix is None:
         params_fix = params
     b = th_init.shape[0]
@@ -173,6 +182,15 @@ def plan(
     res0 = residuals(th_init)
     err0 = weighted_err(res0)
     static = graph_lib.assemble_static(spec, params, dtype)
+    use_stream = cfg.engine == "stream"
+    if use_stream:
+        from dgpmp2_tpu.core import stream as stream_lib
+
+        # Scalar GN damping folds into the static diagonal; LM damping is
+        # per-problem/per-iteration and applied inside stream_step.
+        ss = stream_lib.build_stream_static(
+            spec, params, static, b, dtype, reg=0.0 if lm else cfg.reg
+        )
 
     def best_score(res):
         """GP-MSE if non-colliding on the interior, else +inf
@@ -184,11 +202,18 @@ def plan(
     def body(carry, _):
         th, res, err_old, conv, lam, iters, best = carry
         delta = lam if lm else jnp.asarray(cfg.reg, dtype)
-        diag, off, rhs = graph_lib.assemble_from_residuals(
-            spec, params, res, dtype=dtype, static=static
-        )
-        diag, off, rhs = damped_system(diag, off, rhs, delta, trust_region=lm)
-        dth = tridiag.btd_solve_auto(diag, off, rhs)
+        if use_stream:
+            dth = stream_lib.stream_step(
+                spec, params, ss, res, delta, trust_region=lm
+            )
+        else:
+            diag, off, rhs = graph_lib.assemble_from_residuals(
+                spec, params, res, dtype=dtype, static=static
+            )
+            diag, off, rhs = damped_system(
+                diag, off, rhs, delta, trust_region=lm
+            )
+            dth = tridiag.btd_solve_auto(diag, off, rhs)
         th_prop = th + dth
         res_prop = residuals(th_prop)
         err_prop = weighted_err(res_prop)

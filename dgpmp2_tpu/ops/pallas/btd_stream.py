@@ -214,6 +214,103 @@ def _make_bwd_kernel(d, chunk):
     return kernel
 
 
+def _solve_pre_impl(diag_p, offp_p, offf_p, rhs_p, interpret=False, chunk=16):
+    """Solve on arrays already in the padded stream layout.
+
+    Args (TP divisible by ``chunk``, S = nb·8):
+      diag_p: (TP, D·D, S, 128) — identity blocks in all padded slots.
+      offp_p: (TP, D·D, S, 128) — shifted super-diagonal, offp[t] = off[t-1],
+              offp[0] = 0 and zeros in the time pad.
+      offf_p: (TP, D·D, S, 128) — unshifted, offf[t] = off[t] (t < T-1).
+      rhs_p:  (TP, D, S, 128) — zeros in padded slots.
+    Returns x in the same layout as ``rhs_p`` (padded slots solve to 0).
+
+    This is the entry the stream-layout GN engine uses: assembly produces
+    these arrays natively, so no (B, T, D, D) <-> stream transposes happen
+    per iteration (the 0.585 ms/array round-trip that made the standard
+    wrapper regress the plan loop).
+    """
+    tp, dd, sb, _ = diag_p.shape
+    d = int(round(dd**0.5))
+    nb = sb // _SUB
+    n_chunks = tp // chunk
+    shape_m = (chunk, dd, _SUB, _LANE)
+    shape_v = (chunk, d, _SUB, _LANE)
+
+    m_spec = pl.BlockSpec(shape_m, lambda i, t: (t, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec(shape_v, lambda i, t: (t, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    out_m = jax.ShapeDtypeStruct((tp, dd, sb, _LANE), diag_p.dtype)
+    out_v = jax.ShapeDtypeStruct((tp, d, sb, _LANE), diag_p.dtype)
+    chol_t, gain_t, y_t = pl.pallas_call(
+        _make_fwd_kernel(d, chunk),
+        grid=(nb, n_chunks),
+        in_specs=[m_spec, m_spec, v_spec],
+        out_specs=[m_spec, m_spec, v_spec],
+        out_shape=[out_m, out_m, out_v],
+        scratch_shapes=[
+            pltpu.VMEM((dd, _SUB, _LANE), diag_p.dtype),
+            pltpu.VMEM((d, _SUB, _LANE), diag_p.dtype),
+        ],
+        interpret=interpret,
+    )(diag_p, offp_p, rhs_p)
+
+    def rev(i, t):
+        return (n_chunks - 1 - t, 0, i, 0)
+
+    m_rev = pl.BlockSpec(shape_m, rev, memory_space=pltpu.VMEM)
+    v_rev = pl.BlockSpec(shape_v, rev, memory_space=pltpu.VMEM)
+    x_t = pl.pallas_call(
+        _make_bwd_kernel(d, chunk),
+        grid=(nb, n_chunks),
+        in_specs=[m_rev, m_rev, v_rev],
+        out_specs=v_rev,
+        out_shape=out_v,
+        scratch_shapes=[pltpu.VMEM((d, _SUB, _LANE), diag_p.dtype)],
+        interpret=interpret,
+    )(chol_t, offf_p, y_t)
+    return x_t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def btd_solve_stream_pre(diag_p, offp_p, offf_p, rhs_p,
+                         interpret: bool = False, chunk: int = 16):
+    """Differentiable stream-layout solve (see :func:`_solve_pre_impl`).
+
+    The system is symmetric (sub-diagonal = super-diagonalᵀ), so the adjoint
+    solve reuses the same factor-ready layout.  The off-diagonal cotangent is
+    routed entirely through ``offp_p`` (``offf_p`` gets zeros): both are
+    linear rearrangements of the same underlying blocks, so callers that
+    build them from one ``off`` array recover the full
+    ``-(λᵢx_{i+1}ᵀ + xᵢλ_{i+1}ᵀ)`` via the concatenate pullbacks.
+    """
+    return _solve_pre_impl(diag_p, offp_p, offf_p, rhs_p, interpret, chunk)
+
+
+def _pre_fwd(diag_p, offp_p, offf_p, rhs_p, interpret, chunk):
+    x = _solve_pre_impl(diag_p, offp_p, offf_p, rhs_p, interpret, chunk)
+    return x, (diag_p, offp_p, offf_p, x)
+
+
+def _pre_bwd(interpret, chunk, res, x_bar):
+    diag_p, offp_p, offf_p, x = res
+    lam = _solve_pre_impl(diag_p, offp_p, offf_p, x_bar, interpret, chunk)
+    tp, d = x.shape[0], x.shape[1]
+    tail = x.shape[2:]
+    diag_bar = -(lam[:, :, None] * x[:, None, :]).reshape(tp, d * d, *tail)
+    # offp[t] carries off[t-1]: cotangent -(λ_{t-1} x_tᵀ + x_{t-1} λ_tᵀ).
+    cross = (lam[:-1, :, None] * x[1:, None, :]
+             + x[:-1, :, None] * lam[1:, None, :])
+    offp_bar = jnp.zeros_like(offp_p).at[1:].add(
+        -cross.reshape(tp - 1, d * d, *tail)
+    )
+    return diag_bar, offp_bar, jnp.zeros_like(offf_p), lam
+
+
+btd_solve_stream_pre.defvjp(_pre_fwd, _pre_bwd)
+
+
 def _solve_impl(diag, off, rhs, interpret=False, chunk=16):
     b, t_len, d, _ = diag.shape
     dd = d * d
@@ -269,49 +366,7 @@ def _solve_impl(diag, off, rhs, interpret=False, chunk=16):
             [rhs_t, jnp.zeros((tpad, d, nb * _SUB, _LANE), diag.dtype)], axis=0
         )
 
-    n_chunks = tp // chunk
-    shape_m = (chunk, dd, _SUB, _LANE)
-    shape_v = (chunk, d, _SUB, _LANE)
-
-    # --- forward: factorization + sweep ----------------------------------
-    # The recurrence needs T sequential per batch block, so the batch-block
-    # axis is OUTER: grid=(nb, n_chunks); scratch reseeds at t == 0.
-    m_spec = pl.BlockSpec(shape_m, lambda i, t: (t, 0, i, 0),
-                          memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec(shape_v, lambda i, t: (t, 0, i, 0),
-                          memory_space=pltpu.VMEM)
-
-    out_m = jax.ShapeDtypeStruct((tp, dd, nb * _SUB, _LANE), diag.dtype)
-    out_v = jax.ShapeDtypeStruct((tp, d, nb * _SUB, _LANE), diag.dtype)
-    chol_t, gain_t, y_t = pl.pallas_call(
-        _make_fwd_kernel(d, chunk),
-        grid=(nb, n_chunks),
-        in_specs=[m_spec, m_spec, v_spec],
-        out_specs=[m_spec, m_spec, v_spec],
-        out_shape=[out_m, out_m, out_v],
-        scratch_shapes=[
-            pltpu.VMEM((dd, _SUB, _LANE), diag.dtype),
-            pltpu.VMEM((d, _SUB, _LANE), diag.dtype),
-        ],
-        interpret=interpret,
-    )(diag_t, offp_t, rhs_t)
-
-    # --- backward substitution (reverse chunk walk) -----------------------
-    def rev(i, t):
-        return (n_chunks - 1 - t, 0, i, 0)
-
-    m_rev = pl.BlockSpec(shape_m, rev, memory_space=pltpu.VMEM)
-    v_rev = pl.BlockSpec(shape_v, rev, memory_space=pltpu.VMEM)
-
-    x_t = pl.pallas_call(
-        _make_bwd_kernel(d, chunk),
-        grid=(nb, n_chunks),
-        in_specs=[m_rev, m_rev, v_rev],
-        out_specs=v_rev,
-        out_shape=out_v,
-        scratch_shapes=[pltpu.VMEM((d, _SUB, _LANE), diag.dtype)],
-        interpret=interpret,
-    )(chol_t, offf_t, y_t)
+    x_t = _solve_pre_impl(diag_t, offp_t, offf_t, rhs_t, interpret, chunk)
 
     x = x_t.reshape(tp, d, bp)[:t_len, :, :b]
     return jnp.moveaxis(x, -1, 0)

@@ -79,6 +79,7 @@ def optim_from_params(optim_params) -> OptimConfig:
         max_iters=int(max_iters),
         tol_err=float(optim_params.get("tol_err", 1e-3)),
         tol_delta=float(optim_params.get("tol_delta", 1e-4)),
+        engine=str(optim_params.get("engine", "auto")),
     )
 
 
