@@ -85,9 +85,11 @@ def main():
     cfg = gn.OptimConfig(reg=0.1, max_iters=iters, tol_delta=0.0,
                          engine=engine)
 
+    # unroll=4 lets XLA software-pipeline adjacent iterations (measured
+    # 1.67 -> 1.59 ms/iter; unroll=8 regresses to ~2.0).
     @jax.jit
     def run_n(p, th, s):
-        return gn.plan(spec, robot, p, th, s, cfg).th
+        return gn.plan(spec, robot, p, th, s, cfg, unroll=4).th
 
     th = run_n(params, th0, sdf)  # compile + warm-up
     assert np.isfinite(float(jnp.sum(th))), "non-finite trajectories"

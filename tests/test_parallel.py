@@ -52,6 +52,31 @@ def test_data_parallel_plan_matches_single_device():
     )
 
 
+def test_data_parallel_plan_stream_engine():
+    """The stream engine's batch-in-lanes relayout composes with a sharded
+    batch: GSPMD may insert collectives around the Pallas solve, but the
+    result must match the unsharded run."""
+    import dataclasses
+
+    spec, robot, params, th0, sdf = _problem(b=16)
+    cfg = gn.OptimConfig(reg=0.1, max_iters=3, engine="stream")
+
+    @jax.jit
+    def run(p, th, s):
+        return gn.plan(spec, robot, p, th, s, cfg).th
+
+    th_single = run(params, th0, sdf)
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    th_sh = run(
+        sharding.shard_batch(params, mesh),
+        sharding.shard_batch(th0, mesh),
+        sharding.shard_batch(sdf, mesh),
+    )
+    np.testing.assert_allclose(
+        np.asarray(th_single), np.asarray(th_sh), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_tp_mesh_learned_train_step():
     from dgpmp2_tpu.learn.learned_planner import (
         LearnedDiffGPMP2Planner, LearnedPlannerConfig,
