@@ -40,7 +40,13 @@ def make_mesh(devices: Optional[Sequence] = None, model_parallel: int = 1) -> Me
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n % model_parallel:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+        import warnings
+
+        warnings.warn(
+            f"{n} devices not divisible by model_parallel={model_parallel}; "
+            "falling back to model_parallel=1 (pure data parallelism)."
+        )
+        model_parallel = 1
     arr = np.array(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
 
