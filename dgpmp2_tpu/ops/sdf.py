@@ -144,6 +144,39 @@ def _interp_weights(px, py):
     return px1.astype(jnp.int32), py1.astype(jnp.int32), fx, fy
 
 
+# Out-of-bounds semantics for the lookup:
+#   "intended"  — d = MAX_D with zero gradient outside the world limits (the
+#                 reference's *intended* behavior, SURVEY.md §2.10; default).
+#   "reference" — bit-faithful to the reference running under modern torch
+#                 (the bool-mask arithmetic at utils/sdf_utils.py:96-103
+#                 degenerates to always-in-limits, and the interpolation
+#                 weights are computed from the *clamped* corner indices at
+#                 :69-84, so a fully out-of-grid point collapses to d = 0
+#                 with zero gradient).  Used by the golden-parity tests.
+_OOB_MODE = "intended"
+
+
+def set_oob_mode(mode: str) -> None:
+    """Select out-of-bounds lookup semantics: 'intended' | 'reference'."""
+    global _OOB_MODE
+    if mode not in ("intended", "reference"):
+        raise ValueError(mode)
+    _OOB_MODE = mode
+
+
+def _axis_weights(p, p1c, p2c, f):
+    """(low, high) interpolation weights along one axis.
+
+    Intended mode uses the fractional part (corner clamping never changes
+    in-bounds weights); reference mode recomputes from the clamped indices so
+    the weights sum to ``p2c - p1c`` (zero when both corners clamp together,
+    reproducing the reference's collapse-to-zero outside the grid)."""
+    if _OOB_MODE == "reference":
+        dtype = f.dtype
+        return p2c.astype(dtype) - p, p - p1c.astype(dtype)
+    return 1.0 - f, f
+
+
 def bilinear_lookup(
     sdf: jnp.ndarray,
     points: jnp.ndarray,
@@ -204,17 +237,18 @@ def bilinear_lookup(
     d12 = take(py2c, px1c)  # (y2, x1)
     d22 = take(py2c, px2c)  # (y2, x2)
 
-    wa = (1.0 - fx) * (1.0 - fy)
-    wb = fx * (1.0 - fy)
-    wc = (1.0 - fx) * fy
-    wd = fx * fy
-    d = wa * d11 + wb * d21 + wc * d12 + wd * d22
+    ax1, ax2 = _axis_weights(px, px1c, px2c, fx)
+    ay1, ay2 = _axis_weights(py, py1c, py2c, fy)
+    d = ay1 * (ax1 * d11 + ax2 * d21) + ay2 * (ax1 * d12 + ax2 * d22)
 
     # ∂d/∂px, ∂d/∂py then chain through px = x/res, py = -y/res.
-    dd_dpx = (1.0 - fy) * (d21 - d11) + fy * (d22 - d12)
-    dd_dpy = (1.0 - fx) * (d12 - d11) + fx * (d22 - d21)
+    dd_dpx = ay1 * (d21 - d11) + ay2 * (d22 - d12)
+    dd_dpy = ax1 * (d12 - d11) + ax2 * (d22 - d21)
     gx = dd_dpx / res
     gy = -dd_dpy / res
+
+    if _OOB_MODE == "reference":
+        return d, jnp.stack([gx, gy], axis=-1)
 
     in_x = (x >= x_lims[0]) & (x <= x_lims[1])
     in_y = (y >= y_lims[0]) & (y <= y_lims[1])
@@ -276,9 +310,11 @@ def bilinear_lookup_mxu(
     ox1 = (px1c[..., None] == cols).astype(dtype)  # (..., P, W)
     ox2 = (px2c[..., None] == cols).astype(dtype)
 
-    wy = (1.0 - fy)[..., None] * oy1 + fy[..., None] * oy2
+    ax1, ax2 = _axis_weights(px, px1c, px2c, fx)
+    ay1, ay2 = _axis_weights(py, py1c, py2c, fy)
+    wy = ay1[..., None] * oy1 + ay2[..., None] * oy2
     dwy = oy2 - oy1  # ∂/∂py one-hot; zero when clamped (oy1 == oy2)
-    wx = (1.0 - fx)[..., None] * ox1 + fx[..., None] * ox2
+    wx = ax1[..., None] * ox1 + ax2[..., None] * ox2
     dwx = ox2 - ox1
 
     hi = jax.lax.Precision.HIGHEST
@@ -289,6 +325,9 @@ def bilinear_lookup_mxu(
     dd_dpy = jnp.sum(t2 * wx, axis=-1)
     gx = dd_dpx / res
     gy = -dd_dpy / res
+
+    if _OOB_MODE == "reference":
+        return d, jnp.stack([gx, gy], axis=-1)
 
     inside = (
         (x >= x_lims[0]) & (x <= x_lims[1]) & (y >= y_lims[0]) & (y <= y_lims[1])
@@ -338,16 +377,19 @@ def bilinear_lookup_rows(
     py1c = jnp.clip(py1, 0, h - 1)
     py2c = jnp.clip(py1 + 1, 0, h - 1)
 
+    ax1, ax2 = _axis_weights(px, px1c, px2c, fx)
+    ay1, ay2 = _axis_weights(py, py1c, py2c, fy)
+
     # Row gathers along the H axis: (..., P, W) each.
     r1 = jnp.take_along_axis(sdf, py1c[..., None], axis=-2)
     r2 = jnp.take_along_axis(sdf, py2c[..., None], axis=-2)
-    r = (1.0 - fy)[..., None] * r1 + fy[..., None] * r2
+    r = ay1[..., None] * r1 + ay2[..., None] * r2
     dr = r2 - r1
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
     ox1 = (px1c[..., None] == cols).astype(dtype)
     ox2 = (px2c[..., None] == cols).astype(dtype)
-    wx = (1.0 - fx)[..., None] * ox1 + fx[..., None] * ox2
+    wx = ax1[..., None] * ox1 + ax2[..., None] * ox2
     dwx = ox2 - ox1
 
     d = jnp.sum(r * wx, axis=-1)
@@ -355,6 +397,9 @@ def bilinear_lookup_rows(
     dd_dpy = jnp.sum(dr * wx, axis=-1)
     gx = dd_dpx / res
     gy = -dd_dpy / res
+
+    if _OOB_MODE == "reference":
+        return d, jnp.stack([gx, gy], axis=-1)
 
     inside = (
         (x >= x_lims[0]) & (x <= x_lims[1]) & (y >= y_lims[0]) & (y <= y_lims[1])
