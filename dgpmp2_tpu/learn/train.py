@@ -11,10 +11,18 @@ through the block-solve via its implicit adjoint), and the trajectory carry
 is ``stop_gradient``-ed at window boundaries.  ``jax.checkpoint`` on the
 window body trades recompute for activation memory on long unrolls.
 
-Semantic note (deliberate deviation, documented): the reference's windows
-*slide* (loss at step t backprops through the previous ``tk2`` steps,
-updating every ``tk``); chunked TBPTT uses non-overlapping windows of
-``tk`` — the standard scan formulation.  Set ``tk = T`` for full BPTT.
+Two window semantics are supported:
+
+* ``tk2 is None`` (default) — non-overlapping windows of ``tk`` (the
+  standard chunked-scan formulation; equals the reference when
+  ``tk2 == tk``).  Set ``tk = T`` for full BPTT.
+* ``tk2 > tk`` — the reference's *sliding* window
+  (``train_planner.py:216-217,365-376``): a loss lands every ``tk`` steps
+  and backpropagates through the previous ``tk2`` steps, so windows
+  overlap.  Implemented as a stop-gradient rollout recording the
+  trajectory, then per-loss-point recomputation of the trailing ``tk2``
+  steps under gradient (recompute ≈ one extra forward — the JAX rendering
+  of the reference's buffer of chained ``.backward(grad)`` hops).
 """
 from __future__ import annotations
 
@@ -44,7 +52,8 @@ class TrainConfig:
     ``train_planner.py:197-217``)."""
 
     T: int = 10  # unroll length per batch
-    tk: int = 5  # TBPTT window (gradient truncation)
+    tk: int = 5  # TBPTT window (gradient truncation / loss cadence)
+    tk2: Optional[int] = None  # sliding look-back (> tk); None = chunked
     use_inter_loss: bool = True
     clip_grad: bool = True
     clip_val: float = 2.0
@@ -87,6 +96,12 @@ def make_train_step(
     spec = planner.spec
     n_chunks = train_cfg.T // train_cfg.tk
     assert n_chunks * train_cfg.tk == train_cfg.T, "tk must divide T"
+    # Any explicit tk2 routes through the sliding machinery; tk2 == tk is
+    # mathematically identical to the chunked path (tested), tk2 > tk
+    # overlaps windows like the reference.
+    sliding = train_cfg.tk2 is not None
+    if train_cfg.tk2 is not None:
+        assert train_cfg.tk2 >= train_cfg.tk, "tk2 must be >= tk"
 
     def loss_fn(variables, batch, rng):
         im, sdf = batch["im"], batch["sdf"]
@@ -137,12 +152,76 @@ def make_train_step(
             denom = train_cfg.tk if train_cfg.use_inter_loss else 1
             return (th, hid), loss_acc / denom
 
-        if train_cfg.remat:
-            window = jax.checkpoint(window)
+        def loss_at(dth, th, th_new):
+            err_sg, err_gp, err_obs = graph.unweighted_errors(
+                spec, planner.robot, params_fix, th_new, sdf
+            )
+            return one_step_loss(
+                dth, th_opt - th, err_sg, err_gp, err_obs, weights, spec.dof
+            ).total
 
-        (th, _), losses = jax.lax.scan(
-            window, (th0, hidden0), jax.random.split(rng, n_chunks)
-        )
+        def sliding_losses():
+            """Sliding tk/tk2 TBPTT (``train_planner.py:216-217,365-376``):
+            stop-gradient rollout records the trajectory, then each loss
+            point recomputes its trailing tk2 steps under gradient."""
+            tk, tk2 = train_cfg.tk, train_cfg.tk2
+            rngs_all = jax.random.split(rng, train_cfg.T)
+
+            def roll(carry, rng_t):
+                th, hid = carry
+                dth, _, _, _, hid_new = planner.step(
+                    variables, params_fix, th, sdf, feats, hid,
+                    train=True, rng=rng_t,
+                )
+                return (th + dth, hid_new), (th, hid)
+
+            (th_fin, _), (ths, hids) = jax.lax.scan(
+                roll, (th0, hidden0), rngs_all
+            )
+            ths = jax.lax.stop_gradient(ths)
+            hids = jax.tree.map(jax.lax.stop_gradient, hids)
+
+            def window_k(_, k):
+                t_end = (k + 1) * tk  # exclusive: loss step is t_end - 1
+                s = t_end - tk2  # may be negative for the first windows
+                start = jnp.maximum(s, 0)
+                th = ths[start]
+                hid = jax.tree.map(lambda x: x[start], hids)
+                loss_acc = 0.0
+                for j in range(tk2):
+                    g = s + j
+                    active = g >= 0
+                    gc = jnp.clip(g, 0, train_cfg.T - 1)
+                    dth, _, _, _, hid_new = planner.step(
+                        variables, params_fix, th, sdf, feats, hid,
+                        train=True, rng=rngs_all[gc],
+                    )
+                    th_new = jnp.where(active, th + dth, th)
+                    hid = jax.tree.map(
+                        lambda n, o: jnp.where(active, n, o), hid_new, hid
+                    )
+                    # Loss steps (the trailing tk of the window) always have
+                    # g >= 0, so no masking is needed on the loss itself.
+                    if (train_cfg.use_inter_loss and j >= tk2 - tk) or (
+                        j == tk2 - 1
+                    ):
+                        loss_acc = loss_acc + loss_at(dth, th, th_new)
+                    th = th_new
+                denom = tk if train_cfg.use_inter_loss else 1
+                return None, loss_acc / denom
+
+            body = jax.checkpoint(window_k) if train_cfg.remat else window_k
+            _, losses = jax.lax.scan(body, None, jnp.arange(n_chunks))
+            return th_fin, losses
+
+        if sliding:
+            th, losses = sliding_losses()
+        else:
+            if train_cfg.remat:
+                window = jax.checkpoint(window)
+            (th, _), losses = jax.lax.scan(
+                window, (th0, hidden0), jax.random.split(rng, n_chunks)
+            )
         total = jnp.mean(losses)
         final_err = jnp.mean(
             jax.lax.stop_gradient(

@@ -142,6 +142,153 @@ def _lookup_impl(sdf, points, res, x_lims, y_lims,
     return d, grad
 
 
+def _make_kernel_v2(s_per_prog: int, p_pad: int, h: int, w: int,
+                    res: float, x_lims, y_lims):
+    """Transpose-free formulation (v2).
+
+    The v1 kernel spends ~1.3 µs/sample on (1,P)↔(P,1) relayouts (9 small
+    transposes per sample — sublane/lane swaps are slow in Mosaic).  v2
+    keeps every per-sample quantity in its natural (1, P) ROW layout and
+    builds *transposed* one-hots by comparing a (W, 1)/(H, 1) column iota
+    against the row — a broadcast compare, no relayout:
+
+        WxT_cat = [ax1·Ox1 + ax2·Ox2 | Ox2 − Ox1]   (W, 2P)
+        C_cat   = S @ WxT_cat                        (H, 2P)   one MXU dot
+        C, C2   = C_cat[:, :P], C_cat[:, P:]
+        wy, dwy : (H, P) y-side one-hot combos       (VPU)
+        d       = Σ_h wy∘C     (sublane reduce → (1, P) row)
+        ∂d/∂px  = Σ_h wy∘C2 ;  ∂d/∂py = Σ_h dwy∘C
+
+    Sublane reductions are full-vreg adds (cheap); every output lands as a
+    (1, P) row and writes straight into the (S, P) output block.
+    """
+    orig_px = -x_lims[0] / res
+    orig_py = -y_lims[0] / res
+    max_d = x_lims[1] - x_lims[0]
+
+    def kernel(sdf_ref, x_ref, y_ref, d_ref, gx_ref, gy_ref):
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+        col_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        # Tile-wide pixel math, vectorized over (S, P) — outside the loop.
+        x = x_ref[:]
+        y = y_ref[:]
+        px = orig_px + x * (1.0 / res)
+        py = orig_py - y * (1.0 / res)
+        px1f = jnp.floor(px)
+        py1f = jnp.floor(py)
+        fx = px - px1f
+        fy = py - py1f
+        px1 = jnp.clip(px1f.astype(jnp.int32), 0, w - 1)
+        px2 = jnp.clip(px1f.astype(jnp.int32) + 1, 0, w - 1)
+        py1 = jnp.clip(py1f.astype(jnp.int32), 0, h - 1)
+        py2 = jnp.clip(py1f.astype(jnp.int32) + 1, 0, h - 1)
+        inside = (
+            (x >= x_lims[0]) & (x <= x_lims[1])
+            & (y >= y_lims[0]) & (y <= y_lims[1])
+        )
+
+        for s in range(s_per_prog):
+            ox1 = (col_w == px1[s : s + 1, :]).astype(jnp.float32)  # (W, P)
+            ox2 = (col_w == px2[s : s + 1, :]).astype(jnp.float32)
+            dwx = ox2 - ox1
+            wx = ox1 + fx[s : s + 1, :] * dwx
+            wx_cat = jnp.concatenate([wx, dwx], axis=1)  # (W, 2P)
+
+            c_cat = jnp.dot(
+                sdf_ref[s], wx_cat, preferred_element_type=jnp.float32
+            )  # (H, 2P)
+            c = c_cat[:, :p_pad]
+            c2 = c_cat[:, p_pad:]
+
+            oy1 = (col_h == py1[s : s + 1, :]).astype(jnp.float32)  # (H, P)
+            oy2 = (col_h == py2[s : s + 1, :]).astype(jnp.float32)
+            dwy = oy2 - oy1
+            wy = oy1 + fy[s : s + 1, :] * dwy
+
+            d_row = jnp.sum(wy * c, axis=0, keepdims=True)  # (1, P)
+            ddpx = jnp.sum(wy * c2, axis=0, keepdims=True)
+            ddpy = jnp.sum(dwy * c, axis=0, keepdims=True)
+
+            ins = inside[s : s + 1, :]
+            d_ref[s : s + 1, :] = jnp.where(ins, d_row, max_d)
+            gx_ref[s : s + 1, :] = jnp.where(ins, ddpx * (1.0 / res), 0.0)
+            gy_ref[s : s + 1, :] = jnp.where(ins, -ddpy * (1.0 / res), 0.0)
+
+    return kernel
+
+
+def _lookup_impl_v2(sdf, points, res, x_lims, y_lims,
+                    s_per_prog: int = 32, interpret: bool = False):
+    b, h, w = sdf.shape
+    p = points.shape[-2]
+    p_pad = -(-p // 128) * 128
+    b_pad = -(-b // s_per_prog) * s_per_prog
+
+    x = points[..., 0]
+    y = points[..., 1]
+    if p_pad != p:
+        fill = jnp.zeros((b, p_pad - p), points.dtype)
+        x = jnp.concatenate([x, fill], axis=-1)
+        y = jnp.concatenate([y, fill], axis=-1)
+    if b_pad != b:
+        sdf = jnp.concatenate(
+            [sdf, jnp.zeros((b_pad - b, h, w), sdf.dtype)], axis=0
+        )
+        zf = jnp.zeros((b_pad - b, p_pad), x.dtype)
+        x = jnp.concatenate([x, zf], axis=0)
+        y = jnp.concatenate([y, zf], axis=0)
+
+    kernel = _make_kernel_v2(s_per_prog, p_pad, h, w, res, tuple(x_lims),
+                             tuple(y_lims))
+    out_shape = jax.ShapeDtypeStruct((b_pad, p_pad), jnp.float32)
+    spec_sp = pl.BlockSpec((s_per_prog, p_pad), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    d, gx, gy = pl.pallas_call(
+        kernel,
+        grid=(b_pad // s_per_prog,),
+        in_specs=[
+            pl.BlockSpec((s_per_prog, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_sp,
+            spec_sp,
+        ],
+        out_specs=[spec_sp, spec_sp, spec_sp],
+        out_shape=[out_shape, out_shape, out_shape],
+        interpret=interpret,
+    )(sdf.astype(jnp.float32), x.astype(jnp.float32), y.astype(jnp.float32))
+    d = d[:b, :p]
+    grad = jnp.stack([gx[:b, :p], gy[:b, :p]], axis=-1)
+    return d, grad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def bilinear_lookup_pallas_v2(sdf, points, res, x_lims, y_lims,
+                              s_per_prog: int = 32, interpret: bool = False):
+    """Transpose-free fused lookup (see :func:`_make_kernel_v2`).
+
+    Same contract as :func:`dgpmp2_tpu.ops.sdf.bilinear_lookup`.
+    """
+    return _lookup_impl_v2(sdf, points, res, x_lims, y_lims, s_per_prog,
+                           interpret)
+
+
+def _fwd_v2(sdf, points, res, x_lims, y_lims, s_per_prog, interpret):
+    out = _lookup_impl_v2(sdf, points, res, x_lims, y_lims, s_per_prog,
+                          interpret)
+    return out, (sdf, points)
+
+
+def _bwd_v2(res_, x_lims, y_lims, s_per_prog, interpret, saved, cot):
+    from dgpmp2_tpu.ops.sdf import bilinear_lookup_mxu
+
+    sdf, points = saved
+    _, vjp_fn = jax.vjp(
+        lambda s, p: bilinear_lookup_mxu(s, p, res_, x_lims, y_lims),
+        sdf, points,
+    )
+    return vjp_fn(cot)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def bilinear_lookup_pallas(sdf, points, res, x_lims, y_lims,
                            s_per_prog: int = 8, interpret: bool = False):
@@ -171,3 +318,4 @@ def _bwd(res_, x_lims, y_lims, s_per_prog, interpret, saved, cot):
 
 
 bilinear_lookup_pallas.defvjp(_fwd, _bwd)
+bilinear_lookup_pallas_v2.defvjp(_fwd_v2, _bwd_v2)

@@ -433,11 +433,28 @@ def _pallas_lookup(sdf, points, res, x_lims, y_lims):
     )
 
 
+def _pallas_v2_spp(sdf) -> int:
+    """Samples per grid program sized so the SDF tile stays ~2 MB (Mosaic
+    double-buffers input blocks; 32 is the measured sweet spot at 128²)."""
+    tile_bytes = sdf.shape[-1] * sdf.shape[-2] * 4
+    spp = max(1, (2 * 1024 * 1024) // tile_bytes)
+    return min(32, spp)
+
+
+def _pallas_v2_lookup(sdf, points, res, x_lims, y_lims):
+    from dgpmp2_tpu.ops.pallas.sdf_lookup import bilinear_lookup_pallas_v2
+
+    return bilinear_lookup_pallas_v2(
+        sdf, points, res, tuple(x_lims), tuple(y_lims), _pallas_v2_spp(sdf)
+    )
+
+
 _LOOKUP_FNS = {
     "gather": bilinear_lookup,
     "mxu": bilinear_lookup_mxu,
     "rows": bilinear_lookup_rows,
     "pallas": _pallas_lookup,
+    "pallas_v2": _pallas_v2_lookup,
 }
 
 
@@ -454,12 +471,18 @@ def lookup(sdf, points, res, x_lims, y_lims):
     method = _LOOKUP_METHOD
     if method == "auto":
         # Measured on a v5e (B=1024, P=101, 128x128 SDFs, loop-in-jit):
-        # gather 5.2 ms, rows 2.9 ms, mxu one-hot 1.45 ms per evaluation.
-        # The fused Pallas kernel ("pallas") eliminates the one-hot HBM
-        # traffic entirely but adds a second pallas_call per plan iteration,
-        # which blows up compile time on the remote TPU toolchain — opt in
-        # via set_lookup_method("pallas") for step-style workloads.
-        method = "mxu" if jax.default_backend() == "tpu" else "gather"
+        # gather 5.2 ms, rows 2.9 ms, mxu one-hot 1.45 ms, fused Pallas v1
+        # 1.37 ms, transpose-free Pallas v2 0.66 ms per evaluation.
+        # v2 (ops/pallas/sdf_lookup.py:_make_kernel_v2) is the TPU default;
+        # the "reference" OOB mode (golden parity) is XLA-only.
+        if (
+            jax.default_backend() == "tpu"
+            and _OOB_MODE == "intended"
+            and _pallas_ok(sdf, points)
+        ):
+            method = "pallas_v2"
+        else:
+            method = "mxu" if jax.default_backend() == "tpu" else "gather"
     return _LOOKUP_FNS[method](sdf, points, res, x_lims, y_lims)
 
 

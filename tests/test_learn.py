@@ -168,3 +168,50 @@ def test_static_init_head_matches_fixed_planner():
     np.testing.assert_allclose(np.asarray(p_used.q_inv),
                                np.asarray(params.q_inv), atol=1e-3)
     np.testing.assert_allclose(np.asarray(dth_l), np.asarray(dth_s), atol=1e-4)
+
+
+def test_sliding_tbptt_tk2_equals_tk_matches_chunked():
+    """Sliding-window TBPTT with tk2 == tk is mathematically identical to
+    the chunked path (windows end at the same steps and look back exactly
+    one chunk) — gradients must agree (train_planner.py:216-217 semantics).
+    Dropout off: the two paths draw per-step rng keys differently."""
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=10),
+        LearnedPlannerConfig(dynamics_mode="diag_identity", hidden_dim=16,
+                             dropout_prob=0.0),
+    )
+    batch = _toy_batch()
+    tx = make_optimizer("adam", {"alpha": 1e-3})
+    w = LossWeights(ext_loss_weight=0.01)
+    step_chunked = make_train_step(planner, tx, w, TrainConfig(T=4, tk=2))
+    step_sliding = make_train_step(planner, tx, w, TrainConfig(T=4, tk=2, tk2=2))
+
+    rng = jax.random.PRNGKey(2)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    state = init_train_state(planner, tx, rng, im_stack, batch["th_opt"])
+
+    s1, m1 = step_chunked(state, batch, jax.random.PRNGKey(7))
+    s2, m2 = step_sliding(state, batch, jax.random.PRNGKey(7))
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.variables), jax.tree.leaves(s2.variables)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sliding_tbptt_overlapping_window_runs():
+    """tk2 > tk (overlapping windows, the reference's sliding look-back)
+    trains stably and produces finite decreasing loss."""
+    planner = _make_planner()
+    batch = _toy_batch()
+    tx = make_optimizer("adam", {"alpha": 1e-3})
+    tcfg = TrainConfig(T=6, tk=2, tk2=4, use_inter_loss=True)
+    train_step = make_train_step(planner, tx, LossWeights(ext_loss_weight=0.01), tcfg)
+
+    rng = jax.random.PRNGKey(2)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    state = init_train_state(planner, tx, rng, im_stack, batch["th_opt"])
+    losses = []
+    for i in range(4):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
