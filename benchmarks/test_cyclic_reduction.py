@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from benchmarks import cyclic_reduction as tridiag_cr
 from dgpmp2_tpu.ops import tridiag
 from tests.test_tridiag import _random_spd_btd
 
@@ -12,7 +13,7 @@ from tests.test_tridiag import _random_spd_btd
 def test_cr_matches_thomas(t):
     rng = np.random.default_rng(t)
     diag, off, rhs = _random_spd_btd(rng, b=2, t=t, d=4)
-    x_cr = tridiag.btd_solve_cr(diag, off, rhs)
+    x_cr = tridiag_cr.btd_solve_cr(diag, off, rhs)
     x_th = tridiag.btd_solve(diag, off, rhs)
     np.testing.assert_allclose(np.asarray(x_cr), np.asarray(x_th), rtol=1e-8,
                                atol=1e-9)
@@ -28,7 +29,7 @@ def test_cr_vjp_matches_thomas_vjp():
             return jnp.sum(solver(diag, off, rhs) * cot)
         return jax.grad(g, argnums=(0, 1, 2))(diag, off, rhs)
 
-    g_cr = f(tridiag.btd_solve_cr)
+    g_cr = f(tridiag_cr.btd_solve_cr)
     g_th = f(tridiag.btd_solve)
     for a, b in zip(g_cr, g_th):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7,
@@ -38,8 +39,8 @@ def test_cr_vjp_matches_thomas_vjp():
 def test_cr_jit_vmap():
     rng = np.random.default_rng(1)
     diag, off, rhs = _random_spd_btd(rng, b=4, t=11, d=4)
-    x1 = jax.jit(tridiag.btd_solve_cr)(diag, off, rhs)
-    x2 = jax.vmap(tridiag.btd_solve_cr)(diag, off, rhs)
+    x1 = jax.jit(tridiag_cr.btd_solve_cr)(diag, off, rhs)
+    x2 = jax.vmap(tridiag_cr.btd_solve_cr)(diag, off, rhs)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-9)
 
 

@@ -32,7 +32,8 @@ def evaluate_batch(
 ) -> Dict[str, np.ndarray]:
     """Compute the reference metric suite for final trajectories (B, T+1, D)."""
     r_obs = graph.obstacle_residuals(spec, robot, params, th_final, sdf)
-    coll = collision_metrics(r_obs, spec.total_time_sec, spec.total_time_step)
+    coll = collision_metrics(r_obs, spec.total_time_sec, spec.total_time_step,
+                             eps=params.eps)
     avg_vel, avg_acc, avg_jerk = smoothness_metrics(
         th_final, spec.total_time_sec, spec.total_time_step
     )
@@ -41,6 +42,8 @@ def evaluate_batch(
     )
     out = {
         "in_coll": np.asarray(coll["in_coll"]),
+        "in_contact": np.asarray(coll["in_contact"]),
+        "contact_intensity": np.asarray(coll["contact_intensity"]),
         "avg_penetration": np.asarray(coll["avg_penetration"]),
         "max_penetration": np.asarray(coll["max_penetration"]),
         "coll_intensity": np.asarray(coll["coll_intensity"]),
@@ -69,7 +72,14 @@ def summarize(per_problem: Dict[str, np.ndarray]) -> Dict[str, float]:
     for k, v in per_problem.items():
         v = np.asarray(v, np.float64)
         s[f"avg_{k}"] = float(np.mean(v))
+    # solve_rate keeps the reference's convention (zero MARGIN violations,
+    # hinge > 0 on the interior); contact_free_rate counts true contact
+    # (d < r) only — the split that makes learned-vs-static interpretable.
     s["solve_rate"] = float(np.mean(~per_problem["in_coll"].astype(bool)))
+    if "in_contact" in per_problem:
+        s["contact_free_rate"] = float(
+            np.mean(~per_problem["in_contact"].astype(bool))
+        )
     return s
 
 

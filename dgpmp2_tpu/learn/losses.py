@@ -23,6 +23,12 @@ class LossWeights(NamedTuple):
     vel_loss_lambda: float = 0.1
     ext_obs_lambda: float = 1.0
     ext_loss_weight: float = 0.0
+    # Weight on the expert-imitation MSE (1.0 = reference behavior).  The
+    # data generator validates experts CONTACT-free only (d > r), so expert
+    # trajectories graze the ε margin; down-weighting imitation and raising
+    # the external obstacle term lets the learned covariances trade
+    # expert-match for clearance (the margin-solve_rate metric).
+    pos_loss_weight: float = 1.0
 
 
 class LossTerms(NamedTuple):
@@ -58,7 +64,7 @@ def one_step_loss(
     sg = jnp.mean(err_sg)
     obs = jnp.mean(err_obs)
     ext = gp + sg + weights.ext_obs_lambda * obs
-    total = expert + weights.ext_loss_weight * ext
+    total = weights.pos_loss_weight * expert + weights.ext_loss_weight * ext
     return LossTerms(total=total, pos=pos, vel=vel, gp=gp, sg=sg, obs=obs, ext=ext)
 
 

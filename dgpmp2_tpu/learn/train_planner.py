@@ -121,6 +121,7 @@ def main(argv=None):
     tx = make_optimizer(opt.get("optimizer", "adam"), opt)
     tcfg = TrainConfig(
         T=int(dg.get("T", 10)), tk=int(dg.get("tk", 5)),
+        tk2=int(dg["tk2"]) if dg.get("tk2") else None,
         use_inter_loss=bool(dg.get("use_inter_loss", True)),
         clip_grad=bool(opt.get("clip_grad", True)),
         clip_val=float(opt.get("clip_val", 2.0)),
@@ -129,6 +130,7 @@ def main(argv=None):
         vel_loss_lambda=float(opt.get("vel_loss_lambda", 0.1)),
         ext_obs_lambda=float(opt.get("ext_obs_lambda", 1.0)),
         ext_loss_weight=float(opt.get("ext_loss_weight", 0.0)),
+        pos_loss_weight=float(opt.get("pos_loss_weight", 1.0)),
     )
     train_step = make_train_step(planner, tx, weights, tcfg)
     batch_size = int(opt.get("batch_size", 16))

@@ -13,8 +13,10 @@ axis through a sequential Pallas grid:
     automatically (the guide's pipeline pattern without hand-written DMA);
   * a second reverse-indexed grid does the back-substitution.
 
-Work per grid step: ~200 full-width vreg ops; HBM traffic: one read of
-(diag, off, rhs) + write/readback of (chol, gain, y) + write of x.
+Work per grid step: ~200 full-width vreg ops (divisions hoisted into d
+reciprocal-sqrts per factorization; Schur update computed lower-triangle
+only); HBM traffic: one read of (diag, off, rhs) + write/readback of
+(chol, y) + write of x.
 
 Same contract and custom VJP as ``tridiag.btd_solve``; batch is padded to a
 multiple of 1024 lanes-block (8·128) with identity systems.
@@ -52,15 +54,21 @@ def _cat1(rows):
 
 
 def _chol(c, d):
+    """Cholesky with the diagonal stored INVERTED (1/l_jj).
+
+    Vector division is multi-cycle on the VPU; the triangular subs below
+    consume the pivot only as a reciprocal, so storing 1/l_jj turns ~8
+    divisions per substitution into multiplies (d divisions + d sqrts per
+    factorization total).
+    """
     zero = jnp.zeros_like(c[0][0])
     l = [[zero] * d for _ in range(d)]
     for j in range(d):
         s = c[j][j]
         for k in range(j):
             s = s - l[j][k] * l[j][k]
-        ljj = jnp.sqrt(s)
-        inv = 1.0 / ljj
-        l[j][j] = ljj
+        inv = jax.lax.rsqrt(s)
+        l[j][j] = inv  # INVERTED pivot
         for i in range(j + 1, d):
             s = c[i][j]
             for k in range(j):
@@ -70,12 +78,13 @@ def _chol(c, d):
 
 
 def _fwd_sub(l, b, d):
+    """Forward substitution; ``l`` carries 1/l_jj on the diagonal."""
     z = []
     for i in range(d):
         s = b[i]
         for k in range(i):
             s = s - l[i][k] * z[k]
-        z.append(s / l[i][i])
+        z.append(s * l[i][i])
     return z
 
 
@@ -85,7 +94,7 @@ def _bwd_sub(l, z, d):
         s = z[i]
         for k in range(i + 1, d):
             s = s - l[k][i] * x[k]
-        x[i] = s / l[i][i]
+        x[i] = s * l[i][i]
     return x
 
 
@@ -94,13 +103,6 @@ def _chol_solve_mat(l, u, d):
     for c in range(d):
         cols.append(_bwd_sub(l, _fwd_sub(l, [u[i][c] for i in range(d)], d), d))
     return [[cols[c][i] for c in range(d)] for i in range(d)]
-
-
-def _matmul(a, b, d):
-    return [
-        [sum(a[i][k] * b[k][j] for k in range(d)) for j in range(d)]
-        for i in range(d)
-    ]
 
 
 def _matvec(a, v, d):
@@ -122,17 +124,26 @@ def _make_fwd_kernel(d, chunk):
     """
 
     def step(l_prev, y_prev, u_prev, d_i, r_i):
+        # X = C_prev^-1 U  (column solves against the cached factor); the
+        # Schur update U^T C^-1 U is SYMMETRIC — only the lower triangle is
+        # computed (the Cholesky below never reads the upper).
         x_m = _chol_solve_mat(l_prev, u_prev, d)
-        g = [[x_m[j][i] for j in range(d)] for i in range(d)]
-        gu = _matmul(g, u_prev, d)
-        c_i = [[d_i[i][j] - gu[i][j] for j in range(d)] for i in range(d)]
+        c_i = [[None] * d for _ in range(d)]
+        for i in range(d):
+            for j in range(i + 1):
+                s = d_i[i][j]
+                for k in range(d):
+                    s = s - u_prev[k][i] * x_m[k][j]
+                c_i[i][j] = s
         l_i = _chol(c_i, d)
-        gy = _matvec(g, y_prev, d)
-        y_i = [r_i[i] - gy[i] for i in range(d)]
-        return l_i, y_i, g
+        # gy = U^T C^-1 y_prev = X^T y_prev.
+        y_i = [
+            r_i[i] - sum(x_m[k][i] * y_prev[k] for k in range(d))
+            for i in range(d)
+        ]
+        return l_i, y_i
 
-    def kernel(diag_ref, offp_ref, rhs_ref, chol_ref, gain_ref, y_ref,
-               l_scr, y_scr):
+    def kernel(diag_ref, offp_ref, rhs_ref, chol_ref, y_ref, l_scr, y_scr):
         t = pl.program_id(1)  # grid = (batch_block, T/chunk)
         for c in range(chunk):
             d_i = _rows_arr(diag_ref[c], d)
@@ -145,7 +156,6 @@ def _make_fwd_kernel(d, chunk):
                 def _():
                     l0 = _chol(d_i, d)
                     chol_ref[0] = _cat2(l0)
-                    gain_ref[0] = jnp.zeros_like(gain_ref[0])
                     y_ref[0] = _cat1(r_i)
                     l_scr[...] = _cat2(l0)
                     y_scr[...] = _cat1(r_i)
@@ -155,9 +165,8 @@ def _make_fwd_kernel(d, chunk):
                     l_prev = _rows_arr(l_scr[...], d)
                     y_prev = _vrows(y_scr[...], d)
                     u_prev = _rows_arr(offp_ref[0], d)
-                    l_i, y_i, g = step(l_prev, y_prev, u_prev, d_i, r_i)
+                    l_i, y_i = step(l_prev, y_prev, u_prev, d_i, r_i)
                     chol_ref[0] = _cat2(l_i)
-                    gain_ref[0] = _cat2(g)
                     y_ref[0] = _cat1(y_i)
                     l_scr[...] = _cat2(l_i)
                     y_scr[...] = _cat1(y_i)
@@ -167,9 +176,8 @@ def _make_fwd_kernel(d, chunk):
                 l_prev = _rows_arr(chol_ref[c - 1], d)
                 y_prev = _vrows(y_ref[c - 1], d)
                 u_prev = _rows_arr(offp_ref[c], d)
-                l_i, y_i, g = step(l_prev, y_prev, u_prev, d_i, r_i)
+                l_i, y_i = step(l_prev, y_prev, u_prev, d_i, r_i)
                 chol_ref[c] = _cat2(l_i)
-                gain_ref[c] = _cat2(g)
                 y_ref[c] = _cat1(y_i)
                 if c == chunk - 1:
                     l_scr[...] = _cat2(l_i)
@@ -243,12 +251,12 @@ def _solve_pre_impl(diag_p, offp_p, offf_p, rhs_p, interpret=False, chunk=16):
                           memory_space=pltpu.VMEM)
     out_m = jax.ShapeDtypeStruct((tp, dd, sb, _LANE), diag_p.dtype)
     out_v = jax.ShapeDtypeStruct((tp, d, sb, _LANE), diag_p.dtype)
-    chol_t, gain_t, y_t = pl.pallas_call(
+    chol_t, y_t = pl.pallas_call(
         _make_fwd_kernel(d, chunk),
         grid=(nb, n_chunks),
         in_specs=[m_spec, m_spec, v_spec],
-        out_specs=[m_spec, m_spec, v_spec],
-        out_shape=[out_m, out_m, out_v],
+        out_specs=[m_spec, v_spec],
+        out_shape=[out_m, out_v],
         scratch_shapes=[
             pltpu.VMEM((dd, _SUB, _LANE), diag_p.dtype),
             pltpu.VMEM((d, _SUB, _LANE), diag_p.dtype),

@@ -249,6 +249,31 @@ class GPMP2Planner:
     def plan(self, start, goal, th_init, sdf, optim_params=None):
         """Single-problem plan; returns ``(th, err_init, err_final,
         err_per_iter, iters, time_taken)`` like ``gpmp2_planner.py:62-131``."""
+        th, err_init, err_final, err_per_iter, iters, dt = self.plan_batch(
+            jnp.asarray(start, self.dtype)[None],
+            jnp.asarray(goal, self.dtype)[None],
+            jnp.asarray(th_init, self.dtype)[None],
+            jnp.asarray(sdf, self.dtype)[None],
+            optim_params,
+        )
+        return (
+            th[0], float(err_init[0]), float(err_final[0]),
+            [float(e[0]) for e in err_per_iter], int(iters[0]), dt,
+        )
+
+    def plan_batch(self, startb, goalb, th_initb, sdfb, optim_params=None):
+        """Batched classic plan — same semantics as :meth:`plan` over a
+        leading batch axis (per-problem LM lambdas, step rejection and
+        convergence freezing), one compiled step per iteration.
+
+        The reference's ``GPMP2Planner`` is single-problem only
+        (``gpmp2_planner.py:62``); here the non-differentiable API scales
+        like everything else, so B problems cost one dispatch per iteration
+        instead of B.
+
+        Returns ``(thb (B,T+1,D), err_init (B,), err_final (B,),
+        err_per_iter [list of (B,)], iters (B,), time_taken)``.
+        """
         if optim_params is None:
             optim_params = {
                 "method": "gauss_newton", "plan_time": np.inf,
@@ -258,41 +283,51 @@ class GPMP2Planner:
         plan_time = config_lib.plan_time_budget(optim_params)
         max_iters = float(optim_params.get("max_iters", np.inf))
         tol_delta = float(optim_params.get("tol_delta", 1e-3))
+        lm = method == "lm"
 
-        th = jnp.asarray(th_init, self.dtype)[None]
-        sdfb = jnp.asarray(sdf, self.dtype)[None]
+        th = jnp.asarray(th_initb, self.dtype)
+        sdfb = jnp.asarray(sdfb, self.dtype)
+        b = th.shape[0]
         params = self._diff.make_params(
-            jnp.asarray(start, self.dtype)[None], jnp.asarray(goal, self.dtype)[None]
+            jnp.asarray(startb, self.dtype), jnp.asarray(goalb, self.dtype)
         )
-        err_old = float(graph.graph_error(self.spec, self.robot, params, th, sdfb)[0])
-        err_init = err_old
-        lam = 1e-4
+        err_old = graph.graph_error(self.spec, self.robot, params, th, sdfb)
+        err_init = np.asarray(err_old).copy()
+        lam = jnp.full((b,), 1e-4, self.dtype)
+        conv = np.zeros((b,), bool)
+        iters = np.zeros((b,), np.int64)
         err_per_iter = []
         start_t = time.time()
         j = 0
         while True:
-            err_per_iter.append(err_old)
-            if method == "lm":
-                dth, err_new = self._step(
-                    params, th, sdfb, jnp.asarray(lam, self.dtype), True
+            err_per_iter.append(np.asarray(err_old).copy())
+            active = jnp.asarray(~conv)
+            if lm:
+                dth, err_new = self._step(params, th, sdfb, lam, True)
+                accept = err_new < err_old
+                take = accept & active
+                th = jnp.where(take[:, None, None], th + dth, th)
+                err_old = jnp.where(take, err_new, err_old)
+                lam = jnp.where(
+                    active, jnp.where(accept, lam / 10.0, lam * 10.0), lam
                 )
-                err_new = float(err_new[0])
-                if err_new < err_old:
-                    th = th + dth
-                    lam /= 10.0
-                    err_old = err_new
-                else:
-                    lam *= 10.0
             else:
-                delta = jnp.asarray(float(optim_params.get("reg", 0.0)), self.dtype)
+                delta = jnp.asarray(float(optim_params.get("reg", 0.0)),
+                                    self.dtype)
                 dth, err_new = self._step(params, th, sdfb, delta, False)
-                th = th + dth
-                err_old = float(err_new[0])
+                th = jnp.where(active[:, None, None], th + dth, th)
+                err_old = jnp.where(active, err_new, err_old)
             j += 1
-            if float(jnp.linalg.norm(dth)) < tol_delta or j >= max_iters:
+            dth_norm = np.asarray(
+                jnp.linalg.norm(dth.reshape(b, -1), axis=-1)
+            )
+            iters += ~conv
+            conv = conv | (dth_norm < tol_delta)
+            if conv.all() or j >= max_iters:
                 break
             if time.time() - start_t > plan_time:
                 break
         return (
-            th[0], err_init, err_old, err_per_iter, j, time.time() - start_t,
+            th, err_init, np.asarray(err_old), err_per_iter, iters,
+            time.time() - start_t,
         )

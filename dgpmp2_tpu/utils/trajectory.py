@@ -57,30 +57,45 @@ def smoothness_metrics(traj: jnp.ndarray, total_time_sec: float, total_time_step
 
 
 def collision_metrics(
-    obs_error: jnp.ndarray, total_time_sec: float, total_time_step: int
+    obs_error: jnp.ndarray, total_time_sec: float, total_time_step: int,
+    eps=None,
 ):
     """Collision statistics from per-state hinge residuals.
 
     ``planner_utils.py:92-102``: endpoints excluded, a state is "in
-    collision" when its hinge residual is nonzero.
+    collision" when its hinge residual is nonzero.  NOTE the hinge fires at
+    ``d < ε + r`` — a *margin* violation, not contact.  When ``eps`` is
+    given the dict additionally splits out true contact (``d < r``, i.e.
+    hinge residual > ε), which makes learned-vs-static comparisons
+    interpretable: grazing the safety margin and driving through a wall are
+    different failures.
 
     Args:
       obs_error: (..., T+1, L) hinge residuals (from
         :func:`dgpmp2_tpu.core.graph.obstacle_residuals`).
+      eps: optional (..., T+1, L)-broadcastable safety margin ε.
 
     Returns dict of (...,)-shaped metrics: ``in_coll`` (bool),
-    ``avg_penetration``, ``max_penetration``, ``coll_intensity``.
+    ``avg_penetration``, ``max_penetration``, ``coll_intensity`` (+
+    ``in_contact``, ``contact_intensity`` when ``eps`` is given).
     """
     interior = obs_error[..., 1:-1, :]
     colliding = interior > 0
     num_pen = jnp.sum(colliding, axis=(-2, -1))
     dt = float(total_time_sec) / float(total_time_step)
-    return {
+    out = {
         "in_coll": num_pen > 0,
         "avg_penetration": jnp.mean(interior, axis=(-2, -1)),
         "max_penetration": jnp.max(interior, axis=(-2, -1)),
         "coll_intensity": num_pen * dt / float(total_time_sec),
     }
+    if eps is not None:
+        eps_i = jnp.broadcast_to(eps, obs_error.shape)[..., 1:-1, :]
+        contact = interior > eps_i
+        num_contact = jnp.sum(contact, axis=(-2, -1))
+        out["in_contact"] = num_contact > 0
+        out["contact_intensity"] = num_contact * dt / float(total_time_sec)
+    return out
 
 
 def path_to_traj_avg_vel(path: jnp.ndarray, traj_time: float) -> jnp.ndarray:

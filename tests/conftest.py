@@ -21,3 +21,14 @@ import jax  # noqa: E402
 # (must happen before any backend is initialized).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache shared across test runs and xdist workers —
+# the big scan/Pallas-interpret graphs dominate suite wall-clock otherwise.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

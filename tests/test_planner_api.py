@@ -171,3 +171,33 @@ def test_train_planner_cli_smoke(tmp_path):
     ])
     assert 0.0 <= summary["solve_rate"] <= 1.0
     assert (tmp_path / "run" / "results.yaml").exists()
+
+
+def test_classic_planner_batched_matches_single():
+    """plan_batch reproduces per-problem plan() results (GN and LM), with
+    per-problem convergence freezing — the TPU-first upgrade of the
+    reference's single-problem GPMP2Planner (gpmp2_planner.py:62)."""
+    env, pp, gp, obs, opt, robot_data = _load()
+    pp = dict(pp, total_time_step=12)
+    robot = make_robot(robot_data)
+    planner = GPMP2Planner(
+        gp, obs, pp, {"x_lims": env["x_lims"], "y_lims": env["y_lims"]}, robot
+    )
+    sdf = _world()
+    starts = jnp.asarray([[-4.0, -4.0, 0, 0], [-3.5, -4.0, 0, 0]], jnp.float64)
+    goals = jnp.asarray([[4.0, 4.0, 0, 0], [3.5, 4.0, 0, 0]], jnp.float64)
+    th0b = straight_line_traj(starts[:, :2], goals[:, :2], 10.0, 12)
+    for method in ("gauss_newton", "lm"):
+        op = {"method": method, "plan_time": np.inf, "max_iters": 20,
+              "tol_err": 0.0, "tol_delta": 1e-3, "reg": 0.1}
+        thb, e0b, efb, _, itersb, _ = planner.plan_batch(
+            starts, goals, th0b, jnp.broadcast_to(sdf, (2, *sdf.shape)), op
+        )
+        for i in range(2):
+            th1, e01, ef1, _, it1, _ = planner.plan(
+                starts[i], goals[i], th0b[i], sdf, op
+            )
+            np.testing.assert_allclose(np.asarray(thb[i]), np.asarray(th1),
+                                       atol=1e-9)
+            assert int(itersb[i]) == it1
+            np.testing.assert_allclose(efb[i], ef1, rtol=1e-9)
