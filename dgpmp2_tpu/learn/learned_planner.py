@@ -34,6 +34,12 @@ class LearnedPlannerConfig:
     dynamics_mode: str = "diag_identity"
     learn_eps: bool = False
     sdf_predict: bool = True  # feed (im, sdf) vs im only
+    # Feed the hinge costmap max(0, (eps + r) - sdf) as the SDF channel —
+    # the reference's ``costmap_predict`` learn flag (read at
+    # ``learn_module_fcn.py:25``, intent per its costmap_2d input path;
+    # ``safety_dist = epsilon_dist + robot_radius``, learn_module_fcn.py:22).
+    costmap_predict: bool = False
+    costmap_eps: float = 0.4  # epsilon_dist used for the costmap channel
     fixed_conv: bool = False  # conv features computed once per problem
     dtheta_predict: bool = False  # feed previous GN update to the head
     # (``dtheta_predict``, diff_gpmp2_planner.py:57,198)
@@ -144,8 +150,14 @@ class LearnedDiffGPMP2Planner:
     # -- forward pieces ------------------------------------------------------
 
     def stack_inputs(self, im, sdf):
-        """Build the (B, H, W, C) conv input per ``sdf_predict``
-        (``diff_gpmp2_planner.py:183-186``)."""
+        """Build the (B, H, W, C) conv input per ``sdf_predict`` /
+        ``costmap_predict`` (``diff_gpmp2_planner.py:183-186``,
+        ``learn_module_fcn.py:25,79-84``)."""
+        if self.learn_cfg.costmap_predict:
+            from dgpmp2_tpu.ops.sdf import costmap_2d
+            safety = self.learn_cfg.costmap_eps + float(
+                max(self.robot.sphere_radii))
+            sdf = costmap_2d(sdf, safety)
         if self.learn_cfg.sdf_predict:
             return jnp.stack([im, sdf], axis=-1).astype(self.learn_cfg.dtype)
         return im[..., None].astype(self.learn_cfg.dtype)

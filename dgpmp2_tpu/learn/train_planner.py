@@ -59,6 +59,9 @@ def build_planner(planner_params, env_data, optim_params, learn_params, robot,
         sdf_predict=bool(lp["dgpmp2"].get("sdf_predict", True)),
         fixed_conv=bool(lp["dgpmp2"].get("fixed_conv", False)),
         dtheta_predict=bool(lp["dgpmp2"].get("dtheta_predict", False)),
+        costmap_predict=bool(lp["dgpmp2"].get("costmap_predict", False)),
+        costmap_eps=(float(obs_params["epsilon_dist"]) if obs_params
+                     else 0.4),
         model_type=lp["model"].get("type", "feed_forward"),
         hidden_dim=int(lp["model"].get("hidden_dim", 64)),
         num_hidden=int(lp["model"].get("num_hidden", 1)),

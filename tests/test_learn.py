@@ -215,3 +215,33 @@ def test_sliding_tbptt_overlapping_window_runs():
         losses.append(float(metrics["loss"]))
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_costmap_predict_input_channel():
+    """costmap_predict feeds max(0, (eps+r) - sdf) as the SDF channel
+    (reference learn flag, ``learn_module_fcn.py:25``; safety_dist =
+    epsilon_dist + robot_radius, ``learn_module_fcn.py:22``) and the
+    learned step still runs with gradients."""
+    cfg = gn.OptimConfig(reg=0.1, max_iters=5)
+    lcfg = LearnedPlannerConfig(dynamics_mode="diag_identity", hidden_dim=16,
+                                costmap_predict=True, costmap_eps=0.4)
+    planner = LearnedDiffGPMP2Planner(SPEC, ROBOT, cfg, lcfg)
+    batch = _toy_batch()
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    safety = 0.4 + float(max(ROBOT.sphere_radii))
+    expected = np.maximum(0.0, safety - np.asarray(batch["sdf"]))
+    np.testing.assert_allclose(np.asarray(im_stack[..., 1]), expected,
+                               rtol=1e-6)
+    assert np.all(np.asarray(im_stack[..., 1]) >= 0.0)
+
+    rng = jax.random.PRNGKey(0)
+    variables = planner.init_variables(rng, im_stack, batch["th_opt"])
+    params_fix = graph.default_params(
+        SPEC, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+    th, errs, _, _ = planner.plan(
+        variables, params_fix, batch["th_opt"], batch["sdf"], batch["im"],
+        max_iters=3,
+    )
+    assert np.all(np.isfinite(np.asarray(th)))
