@@ -157,14 +157,62 @@ def generate_split(
             sdfb = jnp.broadcast_to(
                 jnp.asarray(sdf_np, jnp.float32), (probs_per_env, im_size, im_size)
             )
-            result = plan_jit(params, th0, sdfb)
-            th = np.asarray(result.th)
-            # Collision re-validation: every state must clear the robot
-            # radius (``generate_2d_dataset.py:247-253``).
-            dists, _ = sdf_ops.bilinear_lookup(
-                sdfb, result.th[..., :2], res, spec.x_lims, spec.y_lims
-            )
-            if float(jnp.min(dists)) <= robot.sphere_radii[0]:
+            # Per-problem salvage: when only SOME problems of the env fail
+            # collision re-validation, resample just those start/goal pairs
+            # against the same map (feasibility-checked on its SDF) instead
+            # of rejecting the whole env — whole-env rejection has
+            # acceptance ~p^probs_per_env and exhausts retries on dense
+            # families (forest).  Mirrors the reference's regenerate-and-
+            # retry semantics (``generate_2d_dataset.py:247-265``) with a
+            # tighter retry target.
+            salvage_tries = 0 if rrtstar_init else 6
+            ok = False
+            for _salvage in range(salvage_tries + 1):
+                result = plan_jit(params, th0, sdfb)
+                th = np.asarray(result.th)
+                # Collision re-validation: every state must clear the robot
+                # radius (``generate_2d_dataset.py:247-253``).
+                dists, _ = sdf_ops.bilinear_lookup(
+                    sdfb, result.th[..., :2], res, spec.x_lims, spec.y_lims
+                )
+                bad = np.asarray(jnp.min(dists, axis=-1)) <= robot.sphere_radii[0]
+                if not bad.any():
+                    ok = True
+                    break
+                if _salvage == salvage_tries:
+                    break
+                # Resample the failing pairs, rejecting start/goals that are
+                # themselves inside the safety margin of this (fixed) map.
+                nb = int(bad.sum())
+                for _feas in range(50):
+                    s_new, g_new = sample_start_goal(
+                        rng, nb, spec.x_lims, spec.y_lims
+                    )
+                    # Host-side nearest-pixel feasibility read (no device
+                    # dispatch: jit would recompile per distinct nb).
+                    pix = world_to_pix(
+                        np.concatenate([s_new, g_new]), spec.x_lims,
+                        spec.y_lims, res,
+                    )
+                    ij = np.clip(np.rint(pix).astype(int), 0, im_size - 1)
+                    d_pts = sdf_np[ij[:, 1], ij[:, 0]]
+                    if np.all(d_pts > safety + res):
+                        break
+                else:
+                    break  # map too dense to place pairs: reject the env
+                startb[bad, :2], goalb[bad, :2] = s_new, g_new
+                startb[bad, 2:] = 0.0
+                goalb[bad, 2:] = 0.0
+                params = graph.default_params(
+                    spec, robot, jnp.asarray(startb), jnp.asarray(goalb),
+                    **cov_scalars, dtype=jnp.float32,
+                )
+                th0 = straight_line_traj(
+                    jnp.asarray(startb[:, :2]), jnp.asarray(goalb[:, :2]),
+                    spec.total_time_sec, spec.total_time_step,
+                )
+                start, goal = startb[:, :2], goalb[:, :2]
+            if not ok:
                 continue  # retry the whole env, like the reference's except
             ds.save_env(out_dir, env_idx, im, sdf_np)
             for j in range(probs_per_env):
