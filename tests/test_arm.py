@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dgpmp2_tpu.core import dense, gn, graph
 from dgpmp2_tpu.ops import sdf as sdf_ops, tridiag
@@ -69,6 +70,7 @@ def test_arm_assembly_matches_dense():
         )
 
 
+@pytest.mark.slow
 def test_arm_plans_around_obstacle():
     spec = graph.GraphSpec(total_time_step=24, nlinks=ARM.nlinks)
     # Obstacle in the upper-right workspace quadrant.

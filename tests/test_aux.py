@@ -4,6 +4,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dgpmp2_tpu.core import gn, graph
 from dgpmp2_tpu.envs import Env2D
@@ -12,6 +13,7 @@ from dgpmp2_tpu.robots import PointRobot2D
 from dgpmp2_tpu.utils.trajectory import straight_line_traj
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore_roundtrip(tmp_path):
     import optax
 
@@ -83,6 +85,7 @@ def test_env2d_api(tmp_path):
     assert (tmp_path / "env.png").exists()
 
 
+@pytest.mark.slow
 def test_run_validation_harness():
     from dgpmp2_tpu.learn.eval import run_validation
 

@@ -13,6 +13,13 @@ import numpy as np
 import pytest
 
 from dgpmp2_tpu.core import gn, graph, stream
+
+# Small streaming chunk for the test matrix: the kernel graph size (and
+# XLA CPU compile time) scales with T; CHUNK=4 over short horizons covers
+# MORE cross-chunk recurrence boundaries than production CHUNK=16 over
+# T=12 (which fits one chunk) at a fraction of the compile cost.
+# test_plan_stream_production_chunk pins the chunk=16 configuration.
+stream.CHUNK = 4
 from dgpmp2_tpu.ops import sdf as sdf_ops
 from dgpmp2_tpu.robots import PlanarArm2Link, PointRobot2D, PointRobotXYH
 from dgpmp2_tpu.utils.trajectory import straight_line_traj
@@ -40,31 +47,31 @@ def _prob(spec, robot, b=2, **kw):
 
 
 CONFIGS = {
-    "point_gn": (graph.GraphSpec(total_time_step=12), PointRobot2D(),
+    "point_gn": (graph.GraphSpec(total_time_step=7), PointRobot2D(),
                  "gauss_newton", {}),
-    "point_lm": (graph.GraphSpec(total_time_step=12), PointRobot2D(),
+    "point_lm": (graph.GraphSpec(total_time_step=7), PointRobot2D(),
                  "lm", {}),
-    "arm_links": (graph.GraphSpec(total_time_step=12, nlinks=6, dof=2),
+    "arm_links": (graph.GraphSpec(total_time_step=7, nlinks=6, dof=2),
                   PlanarArm2Link(), "gauss_newton", {}),
     "nonholonomic": (
-        graph.GraphSpec(total_time_step=12, dof=3, state_dim=6,
+        graph.GraphSpec(total_time_step=7, dof=3, state_dim=6,
                         non_holonomic=True),
         PointRobotXYH(), "gauss_newton", {"k_d": 0.1},
     ),
     "vel_limits": (
-        graph.GraphSpec(total_time_step=12, use_vel_limits=True),
+        graph.GraphSpec(total_time_step=7, use_vel_limits=True),
         PointRobot2D(), "gauss_newton",
         {"k_v": 0.1, "v_x": 2.0, "v_y": 2.0},
     ),
     "gp_inter": (
-        graph.GraphSpec(total_time_step=12, use_gp_inter=True, num_inter=3),
+        graph.GraphSpec(total_time_step=7, use_gp_inter=True, num_inter=3),
         PointRobot2D(), "gauss_newton", {},
     ),
 }
 
 
 def test_gn_step_stream_matches_default():
-    spec, robot = graph.GraphSpec(total_time_step=12), PointRobot2D()
+    spec, robot = graph.GraphSpec(total_time_step=7), PointRobot2D()
     params, th0 = _prob(spec, robot)
     sdf = _world()
     dth_ref = gn.gn_step(spec, robot, params, th0, sdf, 0.1)
@@ -90,6 +97,7 @@ def test_plan_stream_engine_parity(name):
     )
 
 
+@pytest.mark.slow
 def test_plan_stream_gradients_match():
     """Gradients through the stream solve's custom VJP (off-diag cotangent
     routed via the shifted array) equal the default engine's."""
@@ -108,3 +116,18 @@ def test_plan_stream_gradients_match():
     assert float(jnp.linalg.norm(g_ref)) > 1.0  # non-trivial gradient
     np.testing.assert_allclose(np.asarray(g_str), np.asarray(g_ref),
                                rtol=1e-9, atol=1e-10)
+
+
+def test_plan_stream_production_chunk(monkeypatch):
+    """The production CHUNK=16 configuration (bench.py) stays correct:
+    T+1=13 pads to tp=16 inside one chunk."""
+    monkeypatch.setattr(stream, "CHUNK", 16)
+    spec, robot = graph.GraphSpec(total_time_step=12), PointRobot2D()
+    params, th0 = _prob(spec, robot)
+    sdf = _world()
+    cfg = gn.OptimConfig(reg=0.1, max_iters=2, tol_delta=0.0)
+    r_ref = gn.plan(spec, robot, params, th0, sdf, cfg)
+    r_str = gn.plan(spec, robot, params, th0, sdf,
+                    dataclasses.replace(cfg, engine="stream"))
+    np.testing.assert_allclose(np.asarray(r_str.th), np.asarray(r_ref.th),
+                               atol=1e-11)

@@ -125,6 +125,7 @@ def test_learned_plan_unrolls():
     assert np.all(np.isfinite(np.asarray(th)))
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss():
     planner = _make_planner()
     batch = _toy_batch()
@@ -170,6 +171,7 @@ def test_static_init_head_matches_fixed_planner():
     np.testing.assert_allclose(np.asarray(dth_l), np.asarray(dth_s), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sliding_tbptt_tk2_equals_tk_matches_chunked():
     """Sliding-window TBPTT with tk2 == tk is mathematically identical to
     the chunked path (windows end at the same steps and look back exactly
@@ -197,6 +199,7 @@ def test_sliding_tbptt_tk2_equals_tk_matches_chunked():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sliding_tbptt_overlapping_window_runs():
     """tk2 > tk (overlapping windows, the reference's sliding look-back)
     trains stably and produces finite decreasing loss."""

@@ -52,6 +52,7 @@ def test_data_parallel_plan_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_data_parallel_plan_stream_engine():
     """The stream engine's batch-in-lanes relayout composes with a sharded
     batch: GSPMD may insert collectives around the Pallas solve, but the
@@ -77,6 +78,7 @@ def test_data_parallel_plan_stream_engine():
     )
 
 
+@pytest.mark.slow
 def test_tp_mesh_learned_train_step():
     from dgpmp2_tpu.learn.learned_planner import (
         LearnedDiffGPMP2Planner, LearnedPlannerConfig,

@@ -114,6 +114,7 @@ def test_classic_planner_wall_clock_budget():
     assert ef < e0
 
 
+@pytest.mark.slow
 def test_train_planner_cli_smoke(tmp_path):
     """End-to-end CLI smoke: generate -> train 1 epoch -> eval, in-process."""
     import yaml
