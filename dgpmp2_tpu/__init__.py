@@ -11,7 +11,8 @@ from dgpmp2_tpu.core.gn import OptimConfig, gn_step, plan
 from dgpmp2_tpu.envs import Env2D
 from dgpmp2_tpu.planner import DiffGPMP2Planner, GPMP2Planner
 from dgpmp2_tpu.robots import (
-    PlanarArm2Link, PointRobot2D, PointRobotXYH, RobotModel, make_robot,
+    PlanarArm2Link, PlanarArmNLink, PointRobot2D, PointRobotXYH, RobotModel,
+    make_robot,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

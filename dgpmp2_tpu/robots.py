@@ -165,6 +165,75 @@ class PlanarArm2Link(RobotModel):
         return jnp.stack(centers, -2), jnp.stack(jacs, -3)
 
 
+@dataclasses.dataclass(frozen=True)
+class PlanarArmNLink(RobotModel):
+    """N-link planar revolute arm, state ``[q_1..q_n, dq_1..dq_n]``.
+
+    Generalizes :class:`PlanarArm2Link` to any link count with one
+    vectorized FK: absolute link angles are a ``cumsum`` over joint angles,
+    sphere centers are cumulative link-vector sums, and the FK Jacobian
+    uses the revolute-chain identity ``∂p/∂q_i = perp(p − joint_i)`` masked
+    to joints proximal to the sphere's link — no per-joint special cases.
+    The reference names this interface as its extension point but ships no
+    arm (``robot_models/robot_model.py:5-15``); the GP prior, factor graph
+    and solve are dimension-generic, so the planner works unchanged in
+    joint space (``state_dim = 2n``).
+
+    Sphere layout: ``spheres_per_link`` equally spaced centers per link at
+    fractions (i+1)/spheres_per_link, so ``nlinks = n·spheres_per_link``.
+    """
+
+    link_lengths: Tuple[float, ...] = (1.8, 1.4, 1.0)
+    base_xy: Tuple[float, float] = (0.0, 0.0)
+    spheres_per_link: int = 2
+    wksp_dim: int = 2
+    # Derived in __post_init__ from link_lengths/spheres_per_link:
+    dofs: int = 0
+    state_dim: int = 0
+    nlinks: int = 0
+    sphere_radii: Tuple[float, ...] = (0.3,)
+
+    def __post_init__(self):
+        n = len(self.link_lengths)
+        ns = n * self.spheres_per_link
+        object.__setattr__(self, "dofs", n)
+        object.__setattr__(self, "state_dim", 2 * n)
+        object.__setattr__(self, "nlinks", ns)
+        if len(self.sphere_radii) != ns:
+            object.__setattr__(
+                self, "sphere_radii", (self.sphere_radii[0],) * ns
+            )
+
+    def fk(self, th: jnp.ndarray):
+        n = len(self.link_lengths)
+        sp = self.spheres_per_link
+        lengths = jnp.asarray(self.link_lengths, th.dtype)
+        q = th[..., :n]
+        theta = jnp.cumsum(q, axis=-1)  # absolute link angles (..., n)
+        u = jnp.stack([jnp.cos(theta), jnp.sin(theta)], -1)  # (..., n, 2)
+        seg = lengths[:, None] * u  # (..., n, 2) full link vectors
+        base = jnp.asarray(self.base_xy, th.dtype)
+        # joint_i position = base + sum of proximal link vectors (..., n, 2)
+        joints = base + jnp.cumsum(seg, axis=-2) - seg
+        # sphere centers: joint_k + f·seg_k for f = (i+1)/sp  (..., n, sp, 2)
+        fracs = jnp.asarray(
+            [(i + 1) / sp for i in range(sp)], th.dtype
+        )
+        centers = (
+            joints[..., :, None, :] + fracs[:, None] * seg[..., :, None, :]
+        ).reshape(*th.shape[:-1], n * sp, 2)
+        # Revolute-chain Jacobian: ∂p/∂q_i = perp(p − joint_i) for joints
+        # proximal to the sphere's link, 0 otherwise.
+        diff = centers[..., :, None, :] - joints[..., None, :, :]  # (...,L,n,2)
+        perp = jnp.stack([-diff[..., 1], diff[..., 0]], -1)  # (..., L, n, 2)
+        link_idx = jnp.repeat(jnp.arange(n), sp)  # (L,)
+        mask = (link_idx[:, None] >= jnp.arange(n)[None, :]).astype(th.dtype)
+        jac_q = perp * mask[..., None]  # (..., L, n, 2)
+        jac_q = jnp.swapaxes(jac_q, -1, -2)  # (..., L, 2, n)
+        jac = jnp.concatenate([jac_q, jnp.zeros_like(jac_q)], axis=-1)
+        return centers, jac
+
+
 def make_robot(robot_data: dict) -> RobotModel:
     """Build a robot from the reference's robot-YAML schema.
 
@@ -179,6 +248,13 @@ def make_robot(robot_data: dict) -> RobotModel:
             link_lengths=tuple(robot_data.get("link_lengths", (2.5, 2.0))),
             base_xy=tuple(robot_data.get("base_xy", (0.0, 0.0))),
             spheres_per_link=int(robot_data.get("spheres_per_link", 3)),
+            sphere_radii=radii,
+        )
+    if rtype == "planar_arm":
+        return PlanarArmNLink(
+            link_lengths=tuple(robot_data.get("link_lengths", (1.8, 1.4, 1.0))),
+            base_xy=tuple(robot_data.get("base_xy", (0.0, 0.0))),
+            spheres_per_link=int(robot_data.get("spheres_per_link", 2)),
             sphere_radii=radii,
         )
     if rtype == "point_robot_xyh" or dof == 3:

@@ -94,3 +94,80 @@ def test_arm_plans_around_obstacle():
     # Endpoints anchored in joint space.
     np.testing.assert_allclose(np.asarray(result.th[0, 0, :2]),
                                np.asarray(start[0, :2]), atol=1e-2)
+
+
+# --- PlanarArmNLink ---------------------------------------------------------
+
+from dgpmp2_tpu.robots import PlanarArmNLink, make_robot  # noqa: E402
+
+ARM3 = PlanarArmNLink(link_lengths=(1.8, 1.4, 1.0), spheres_per_link=2,
+                      sphere_radii=(0.25,))
+
+
+def test_nlink_fk_jacobian_matches_autodiff():
+    rng = np.random.default_rng(2)
+    d = ARM3.state_dim
+    th = jnp.asarray(rng.uniform(-np.pi, np.pi, (4, d)))
+    centers, jac = ARM3.fk(th)
+    assert centers.shape == (4, ARM3.nlinks, 2)
+    assert jac.shape == (4, ARM3.nlinks, 2, d)
+    jac_ad = jax.vmap(jax.jacfwd(lambda x: ARM3.fk(x)[0]))(th)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ad),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_nlink_matches_2link_at_n2():
+    """PlanarArmNLink with two links reproduces PlanarArm2Link exactly."""
+    arm2 = PlanarArm2Link(link_lengths=(2.5, 2.0), spheres_per_link=3,
+                          sphere_radii=(0.25,) * 6)
+    armn = PlanarArmNLink(link_lengths=(2.5, 2.0), spheres_per_link=3,
+                          sphere_radii=(0.25,))
+    rng = np.random.default_rng(3)
+    th = jnp.asarray(rng.uniform(-np.pi, np.pi, (5, 4)))
+    c2, j2 = arm2.fk(th)
+    cn, jn = armn.fk(th)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(c2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jn), np.asarray(j2), atol=1e-12)
+
+
+def test_nlink_assembly_matches_dense():
+    """Full-stack check: the D=6 (3-link) block system equals the dense
+    oracle — the factor graph and solver are dimension-generic."""
+    rng = np.random.default_rng(4)
+    d = ARM3.state_dim
+    spec = graph.GraphSpec(total_time_step=6, dof=ARM3.dofs, state_dim=d,
+                           nlinks=ARM3.nlinks)
+    img = np.ones((32, 32))
+    img[6:12, 20:26] = 0.0
+    sdfb = jnp.broadcast_to(
+        sdf_ops.sdf_from_occupancy(jnp.asarray(img), res=10 / 32), (2, 32, 32)
+    )
+    start = jnp.asarray(rng.uniform(-1, 1, (2, d)))
+    goal = jnp.asarray(rng.uniform(-1, 1, (2, d)))
+    params = graph.default_params(
+        spec, ARM3, start, goal, qc_inv=np.eye(ARM3.dofs), cost_sigma=0.2,
+        epsilon_dist=0.2, k_s=0.01, k_g=0.01, dtype=jnp.float64,
+    )
+    th = straight_line_traj(start[:, :ARM3.dofs], goal[:, :ARM3.dofs],
+                            10.0, 6)
+    diag, off, rhs = graph.assemble(spec, ARM3, params, th, sdfb)
+    for i in range(2):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        A, b, K = dense.assemble_dense(spec, ARM3, p_i, th[i], sdfb[i])
+        atk = A.T @ K
+        np.testing.assert_allclose(
+            np.asarray(tridiag.btd_to_dense(diag[i], off[i])),
+            np.asarray(atk @ A), rtol=1e-8, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rhs[i]).ravel(), np.asarray(atk @ b), rtol=1e-8,
+            atol=1e-8,
+        )
+
+
+def test_nlink_make_robot_yaml():
+    r = make_robot({"type": "planar_arm", "link_lengths": [1.0, 1.0, 0.8, 0.6],
+                    "spheres_per_link": 2, "sphere_radius": [0.2]})
+    assert isinstance(r, PlanarArmNLink)
+    assert r.dofs == 4 and r.state_dim == 8 and r.nlinks == 8
+    assert r.sphere_radii == (0.2,) * 8
