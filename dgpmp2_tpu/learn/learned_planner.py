@@ -266,24 +266,52 @@ class LearnedDiffGPMP2Planner:
         im,
         max_iters: Optional[int] = None,
         hidden=None,
+        track_best: bool = False,
     ):
         """Full unrolled learned plan: covariances re-predicted every GN
-        iteration (``diff_gpmp2_planner.py:104-166``), compiled as one scan."""
+        iteration (``diff_gpmp2_planner.py:104-166``), compiled as one scan.
+
+        ``track_best`` additionally returns the best non-colliding iterate
+        by GP-MSE (the reference evaluation harness's selection,
+        ``test_planner.py:253-262``) instead of the final trajectory —
+        judged under the FIXED external covariances ``params_fix`` so the
+        learned weights cannot game the selection.
+        """
         iters = max_iters or self.cfg.max_iters
         im_stack = self.stack_inputs(im, sdf)
         feats = self.conv_features(variables, im_stack, train=False)
 
+        def best_score(th):
+            res = graph.eval_residuals(self.spec, self.robot, params_fix,
+                                       th, sdf)
+            colliding = jnp.any(res.r_obs[..., 1:-1, :] > 0, axis=(-2, -1))
+            gp_mse = jnp.mean(jnp.sum(res.r_gp**2, -1), axis=-1)
+            return jnp.where(colliding, jnp.inf, gp_mse)
+
         def body(carry, _):
-            th, hid, dth_prev = carry
+            th, hid, dth_prev, best = carry
             dth, err, err_ext, _, hid = self.step(
                 variables, params_fix, th, sdf, feats, hid, train=False,
                 dth_prev=dth_prev,
             )
-            return (th + dth, hid, dth), (err, err_ext)
+            th_new = th + dth
+            if track_best:
+                best_th, best_s = best
+                s = jax.lax.stop_gradient(best_score(th_new))
+                better = s < best_s
+                best = (jnp.where(better[:, None, None], th_new, best_th),
+                        jnp.minimum(s, best_s))
+            return (th_new, hid, dth, best), (err, err_ext)
 
-        (th, hidden, _), (errs, errs_ext) = jax.lax.scan(
-            body, (th_init, hidden, jnp.zeros_like(th_init)), None, length=iters
+        best0 = ((th_init, jax.lax.stop_gradient(best_score(th_init)))
+                 if track_best else ())
+        (th, hidden, _, best), (errs, errs_ext) = jax.lax.scan(
+            body, (th_init, hidden, jnp.zeros_like(th_init), best0), None,
+            length=iters,
         )
+        if track_best:
+            best_th, best_s = best
+            th = jnp.where(jnp.isfinite(best_s)[:, None, None], best_th, th)
         return th, errs, errs_ext, hidden
 
 

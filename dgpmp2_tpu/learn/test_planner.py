@@ -88,9 +88,12 @@ def main(argv=None):
         )
         variables = payload["state"].variables
 
+    # Best non-colliding iterate by GP-MSE — the reference harness's
+    # trajectory selection (``test_planner.py:253-262``), applied
+    # symmetrically to the learned and static planners.
     plan_jit = jax.jit(
         lambda params, th0, sdfb: gn.plan(spec, robot, params, th0, sdfb,
-                                          planner.cfg).th
+                                          planner.cfg, track_best=True).best_th
     )
     all_m = []
     for batch in ds.as_batches(dataset, idxs, args.batch_size):
@@ -104,7 +107,7 @@ def main(argv=None):
         ).astype(jnp.float32)
         if variables is not None:
             th, _, _, _ = planner.plan(variables, params_fix, th0, b["sdf"],
-                                       b["im"])
+                                       b["im"], track_best=True)
         else:
             th = plan_jit(params_fix, th0, b["sdf"])
         all_m.append(evaluate_batch(spec, robot, params_fix, th, b["th_opt"],

@@ -248,3 +248,37 @@ def test_costmap_predict_input_channel():
         max_iters=3,
     )
     assert np.all(np.isfinite(np.asarray(th)))
+
+
+def test_learned_plan_track_best_non_colliding():
+    """track_best returns a trajectory whose best-score is <= the final
+    iterate's (reference harness selection, test_planner.py:253-262)."""
+    planner = _make_planner()
+    batch = _toy_batch()
+    rng = jax.random.PRNGKey(1)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    th0 = batch["th_opt"]
+    variables = planner.init_variables(rng, im_stack, th0)
+    params_fix = graph.default_params(
+        SPEC, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+    th_final, _, _, _ = planner.plan(
+        variables, params_fix, th0, batch["sdf"], batch["im"], max_iters=5
+    )
+    th_best, _, _, _ = planner.plan(
+        variables, params_fix, th0, batch["sdf"], batch["im"], max_iters=5,
+        track_best=True,
+    )
+    assert th_best.shape == th_final.shape
+
+    def score(th):
+        from dgpmp2_tpu.core import graph as g
+        res = g.eval_residuals(SPEC, ROBOT, params_fix, th, batch["sdf"])
+        colliding = np.asarray(
+            jnp.any(res.r_obs[..., 1:-1, :] > 0, axis=(-2, -1)))
+        gp = np.asarray(jnp.mean(jnp.sum(res.r_gp**2, -1), axis=-1))
+        return np.where(colliding, np.inf, gp)
+
+    s_best, s_final = score(th_best), score(th_final)
+    assert np.all(s_best <= s_final + 1e-9)

@@ -102,8 +102,11 @@ def static_sweep(spec, robot, test_batches, out_file):
         with open(out_file) as fp:
             return yaml.safe_load(fp)
     cfg = gn.OptimConfig(reg=0.1, max_iters=50)
+    # Reference-harness trajectory selection (test_planner.py:253-262):
+    # best non-colliding iterate by GP-MSE, symmetric with eval_learned.
     plan_jit = jax.jit(
-        lambda p, th0, s: gn.plan(spec, robot, p, th0, s, cfg).th
+        lambda p, th0, s: gn.plan(spec, robot, p, th0, s, cfg,
+                                  track_best=True).best_th
     )
     results = {}
     for sigma in SIGMAS:
@@ -209,7 +212,8 @@ def train_config(name, w_over, lcfg_over, roots, args, out_dir):
 
 def eval_learned(planner, state, spec, robot, test_batches):
     plan_jit = jax.jit(
-        lambda v, p, th0, s, im: planner.plan(v, p, th0, s, im, max_iters=50)[0]
+        lambda v, p, th0, s, im: planner.plan(v, p, th0, s, im, max_iters=50,
+                                              track_best=True)[0]
     )
     all_m = []
     for b in test_batches:
