@@ -58,6 +58,12 @@ class TrainConfig:
     clip_grad: bool = True
     clip_val: float = 2.0
     remat: bool = True  # jax.checkpoint each window body
+    # Reference ``dgpmp2.optimize_tk`` (``train_planner.py:395,417``): step
+    # the optimizer after EVERY tk window instead of once per batch.  The
+    # reference never zeroes gradients between windows (zero_grad only at
+    # batch start, ``train_planner.py:276``), so each step applies the
+    # gradient ACCUMULATED over all windows so far — reproduced here.
+    optimize_tk: bool = False
 
 
 def make_optimizer(name: str, opt: dict) -> optax.GradientTransformation:
@@ -233,6 +239,105 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    def window_loss_fn(variables, th, hid, batch, params_fix, rng_w):
+        """One tk-window loss from carry ``(th, hid)`` — the unit the
+        ``optimize_tk`` path differentiates per optimizer step."""
+        sdf, th_opt = batch["sdf"], batch["th_opt"]
+        feats = planner.conv_features(
+            variables, planner.stack_inputs(batch["im"], sdf), train=True
+        )
+        if planner.learn_cfg.fixed_conv:
+            feats = jax.lax.stop_gradient(feats)
+        th = jax.lax.stop_gradient(th)
+        hid = jax.tree.map(jax.lax.stop_gradient, hid)
+        loss_acc = 0.0
+        rngs = jax.random.split(rng_w, train_cfg.tk)
+        for i in range(train_cfg.tk):
+            dth, _, _, _, hid = planner.step(
+                variables, params_fix, th, sdf, feats, hid,
+                train=True, rng=rngs[i],
+            )
+            th_new = th + dth
+            if train_cfg.use_inter_loss or i == train_cfg.tk - 1:
+                err_sg, err_gp, err_obs = graph.unweighted_errors(
+                    spec, planner.robot, params_fix, th_new, sdf
+                )
+                terms = one_step_loss(
+                    dth, th_opt - th, err_sg, err_gp, err_obs,
+                    weights, spec.dof,
+                )
+                loss_acc = loss_acc + terms.total
+            th = th_new
+        denom = train_cfg.tk if train_cfg.use_inter_loss else 1
+        return loss_acc / denom, (th, hid)
+
+    window_grad_fn = jax.value_and_grad(window_loss_fn, has_aux=True)
+
+    @jax.jit
+    def train_step_tk(state: TrainState, batch, rng):
+        """``optimize_tk`` semantics (``train_planner.py:395,417``): an
+        optimizer update after every tk window, each applying the gradient
+        accumulated since batch start (the reference zeroes grads only at
+        ``train_planner.py:276``), with later windows seeing the updated
+        parameters."""
+        start, goal = batch["start"], batch["goal"]
+        params_fix = graph.default_params(
+            spec, planner.robot, start, goal, **batch["cov_scalars"],
+            dtype=jnp.float32,
+        )
+        th0 = straight_line_traj(
+            start[:, : spec.dof], goal[:, : spec.dof],
+            spec.total_time_sec, spec.total_time_step,
+        ).astype(jnp.float32)
+        hidden0 = None
+        if planner.recurrent:
+            feats0 = planner.conv_features(
+                state.variables,
+                planner.stack_inputs(batch["im"], batch["sdf"]),
+            )
+            pos_len = spec.num_traj_states * 2
+            hidden0 = planner.init_hidden(
+                jax.random.PRNGKey(0), th0.shape[0],
+                feats0.shape[-1] + pos_len,
+            )
+        gsum0 = jax.tree.map(jnp.zeros_like, state.variables)
+
+        def body(carry, rng_w):
+            variables, opt_state, th, hid, gsum = carry
+            (loss, (th, hid)), g = window_grad_fn(
+                variables, th, hid, batch, params_fix, rng_w
+            )
+            gsum = jax.tree.map(jnp.add, gsum, g)
+            grads = gsum
+            if train_cfg.clip_grad:
+                gnorm = optax.global_norm(grads)
+                scale = jnp.minimum(1.0, train_cfg.clip_val / (gnorm + 1e-9))
+                grads = jax.tree.map(lambda x: x * scale, grads)
+            updates, opt_state = tx.update(grads, opt_state, variables)
+            variables = optax.apply_updates(variables, updates)
+            return (variables, opt_state, th, hid, gsum), loss
+
+        (variables, opt_state, th, _, _), losses = jax.lax.scan(
+            body,
+            (state.variables, state.opt_state, th0, hidden0, gsum0),
+            jax.random.split(rng, n_chunks),
+        )
+        th_opt = batch["th_opt"]
+        metrics = {
+            "loss": jnp.mean(losses),
+            "final_err": jnp.mean(
+                graph.graph_error(
+                    spec, planner.robot, params_fix, th, batch["sdf"]
+                )
+            ),
+            "final_pos_mse": jnp.mean((th[..., :2] - th_opt[..., :2]) ** 2),
+        }
+        return (
+            TrainState(step=state.step + 1, variables=variables,
+                       opt_state=opt_state),
+            metrics,
+        )
+
     @jax.jit
     def train_step(state: TrainState, batch, rng):
         (loss, metrics), grads = grad_fn(state.variables, batch, rng)
@@ -249,6 +354,9 @@ def make_train_step(
             metrics,
         )
 
+    if train_cfg.optimize_tk:
+        assert not sliding, "optimize_tk does not compose with sliding tk2"
+        return train_step_tk
     return train_step
 
 

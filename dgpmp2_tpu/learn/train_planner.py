@@ -128,6 +128,7 @@ def main(argv=None):
         use_inter_loss=bool(dg.get("use_inter_loss", True)),
         clip_grad=bool(opt.get("clip_grad", True)),
         clip_val=float(opt.get("clip_val", 2.0)),
+        optimize_tk=bool(dg.get("optimize_tk", False)),
     )
     weights = LossWeights(
         vel_loss_lambda=float(opt.get("vel_loss_lambda", 0.1)),

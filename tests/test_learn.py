@@ -200,6 +200,53 @@ def test_sliding_tbptt_tk2_equals_tk_matches_chunked():
 
 
 @pytest.mark.slow
+def test_optimize_tk_single_window_matches_batch_update():
+    """``optimize_tk`` with T == tk is one window ⇒ one accumulated-gradient
+    update, identical to the standard once-per-batch step
+    (train_planner.py:395,417 semantics)."""
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=10),
+        LearnedPlannerConfig(dynamics_mode="diag_identity", hidden_dim=16,
+                             dropout_prob=0.0),
+    )
+    batch = _toy_batch()
+    tx = make_optimizer("adam", {"alpha": 1e-3})
+    w = LossWeights(ext_loss_weight=0.01)
+    step_batch = make_train_step(planner, tx, w, TrainConfig(T=2, tk=2))
+    step_tk = make_train_step(planner, tx, w,
+                              TrainConfig(T=2, tk=2, optimize_tk=True))
+
+    rng = jax.random.PRNGKey(2)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    state = init_train_state(planner, tx, rng, im_stack, batch["th_opt"])
+
+    s1, m1 = step_batch(state, batch, jax.random.PRNGKey(7))
+    s2, m2 = step_tk(state, batch, jax.random.PRNGKey(7))
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.variables), jax.tree.leaves(s2.variables)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_optimize_tk_multi_window_runs():
+    """Two windows: parameters update mid-batch and stay finite."""
+    planner = _make_planner()
+    batch = _toy_batch()
+    tx = make_optimizer("adam", {"alpha": 1e-3})
+    tcfg = TrainConfig(T=4, tk=2, use_inter_loss=True, optimize_tk=True)
+    train_step = make_train_step(planner, tx,
+                                 LossWeights(ext_loss_weight=0.01), tcfg)
+    rng = jax.random.PRNGKey(2)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    state = init_train_state(planner, tx, rng, im_stack, batch["th_opt"])
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    for leaf in jax.tree.leaves(state.variables):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.slow
 def test_sliding_tbptt_overlapping_window_runs():
     """tk2 > tk (overlapping windows, the reference's sliding look-back)
     trains stably and produces finite decreasing loss."""
