@@ -103,13 +103,22 @@ def test_classic_planner_wall_clock_budget():
     th0 = straight_line_traj(start[None, :2], goal[None, :2], 10.0, 12)[0]
     import time
 
+    # Warm-up: compile the step outside the timed region (compile time on a
+    # loaded CI box can exceed any reasonable budget bound).
+    planner.plan(
+        start, goal, th0, sdf,
+        {"method": "gauss_newton", "plan_time": np.inf, "max_iters": 2,
+         "tol_err": 0.0, "tol_delta": 0.0, "reg": 0.1},
+    )
     t0 = time.time()
     th, e0, ef, trace, iters, tt = planner.plan(
         start, goal, th0, sdf,
         {"method": "gauss_newton", "plan_time": 0.5, "max_iters": 10_000,
          "tol_err": 0.0, "tol_delta": 0.0, "reg": 0.1},
     )
-    assert time.time() - t0 < 30  # budget honored (first call compiles)
+    # 0.5 s budget: generous slack for dispatch overhead, but far below the
+    # unbudgeted cost of 10k iterations.
+    assert time.time() - t0 < 15
     assert iters < 10_000
     assert ef < e0
 
