@@ -14,8 +14,9 @@ th_curr`` — i.e. the MSE is over the update, ``train_planner.py:333,348``.)
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -29,6 +30,13 @@ class LossWeights(NamedTuple):
     # the external obstacle term lets the learned covariances trade
     # expert-match for clearance (the margin-solve_rate metric).
     pos_loss_weight: float = 1.0
+    # Smooth-max penetration surrogate (not in the reference).  solve_rate
+    # is an ANY-state metric — a problem fails on its single worst hinge
+    # violation — while the mean-hinge ``ext`` term underweights that worst
+    # state by 1/(T·L).  :func:`smooth_max_penetration` targets the metric
+    # directly.
+    max_pen_weight: float = 0.0
+    max_pen_beta: float = 30.0
 
 
 class LossTerms(NamedTuple):
@@ -39,6 +47,21 @@ class LossTerms(NamedTuple):
     sg: jnp.ndarray
     obs: jnp.ndarray
     ext: jnp.ndarray
+    maxpen: jnp.ndarray = jnp.float32(0.0)
+
+
+def smooth_max_penetration(r_obs: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """Differentiable surrogate of per-problem max interior penetration.
+
+    ``r_obs`` (B, T+1, L) are hinge residuals; interior states only, the
+    ``collision_metrics`` convention (endpoints excluded,
+    ``planner_utils.py:92-102``).  Softmax(β·pen)-weighted mean → max as
+    β → ∞ and is exactly 0 when every hinge is inactive.
+    """
+    pen = r_obs[..., 1:-1, :]
+    flat = pen.reshape(*pen.shape[:-2], -1)
+    w = jax.nn.softmax(beta * flat, axis=-1)
+    return jnp.sum(w * flat, axis=-1)
 
 
 def one_step_loss(
@@ -49,12 +72,15 @@ def one_step_loss(
     err_obs: jnp.ndarray,
     weights: LossWeights,
     dof: int,
+    r_obs: Optional[jnp.ndarray] = None,
 ) -> LossTerms:
     """Args:
       dtheta: (B, T+1, D) the GN update.
       target_delta: (B, T+1, D) expert-remaining delta ``th_opt - th_curr``.
       err_sg/err_gp/err_obs: (B,) unweighted graph errors at ``th_new``
         (:func:`dgpmp2_tpu.core.graph.unweighted_errors`).
+      r_obs: optional (B, T+1, L) hinge residuals at ``th_new`` — required
+        when ``weights.max_pen_weight > 0``.
     """
     diff = dtheta - target_delta
     pos = jnp.mean(jnp.sum(diff[..., :dof] ** 2, axis=-1))
@@ -65,7 +91,14 @@ def one_step_loss(
     obs = jnp.mean(err_obs)
     ext = gp + sg + weights.ext_obs_lambda * obs
     total = weights.pos_loss_weight * expert + weights.ext_loss_weight * ext
-    return LossTerms(total=total, pos=pos, vel=vel, gp=gp, sg=sg, obs=obs, ext=ext)
+    maxpen = jnp.float32(0.0)
+    if weights.max_pen_weight:
+        if r_obs is None:
+            raise ValueError("max_pen_weight > 0 requires r_obs")
+        maxpen = jnp.mean(smooth_max_penetration(r_obs, weights.max_pen_beta))
+        total = total + weights.max_pen_weight * maxpen
+    return LossTerms(total=total, pos=pos, vel=vel, gp=gp, sg=sg, obs=obs,
+                     ext=ext, maxpen=maxpen)
 
 
 def mse_traj(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

@@ -87,6 +87,16 @@ def make_optimizer(name: str, opt: dict) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {name!r}")
 
 
+def _step_loss(spec, robot, params_fix, sdf, dth, th, th_new, th_opt,
+               weights) -> LossTerms:
+    """One factor-graph evaluation at ``th_new`` feeding ``one_step_loss``
+    (including the hinge rows for the max-penetration surrogate)."""
+    res = graph.eval_residuals(spec, robot, params_fix, th_new, sdf)
+    err_sg, err_gp, err_obs = graph.unweighted_errors_from_residuals(res)
+    return one_step_loss(dth, th_opt - th, err_sg, err_gp, err_obs, weights,
+                         spec.dof, r_obs=res.r_obs)
+
+
 def make_train_step(
     planner: LearnedDiffGPMP2Planner,
     tx: optax.GradientTransformation,
@@ -146,25 +156,16 @@ def make_train_step(
                 )
                 th_new = th + dth
                 if train_cfg.use_inter_loss or i == train_cfg.tk - 1:
-                    err_sg, err_gp, err_obs = graph.unweighted_errors(
-                        spec, planner.robot, params_fix, th_new, sdf
-                    )
-                    terms = one_step_loss(
-                        dth, th_opt - th, err_sg, err_gp, err_obs,
-                        weights, spec.dof,
-                    )
+                    terms = _step_loss(spec, planner.robot, params_fix, sdf,
+                                       dth, th, th_new, th_opt, weights)
                     loss_acc = loss_acc + terms.total
                 th = th_new
             denom = train_cfg.tk if train_cfg.use_inter_loss else 1
             return (th, hid), loss_acc / denom
 
         def loss_at(dth, th, th_new):
-            err_sg, err_gp, err_obs = graph.unweighted_errors(
-                spec, planner.robot, params_fix, th_new, sdf
-            )
-            return one_step_loss(
-                dth, th_opt - th, err_sg, err_gp, err_obs, weights, spec.dof
-            ).total
+            return _step_loss(spec, planner.robot, params_fix, sdf,
+                              dth, th, th_new, th_opt, weights).total
 
         def sliding_losses():
             """Sliding tk/tk2 TBPTT (``train_planner.py:216-217,365-376``):
@@ -259,13 +260,8 @@ def make_train_step(
             )
             th_new = th + dth
             if train_cfg.use_inter_loss or i == train_cfg.tk - 1:
-                err_sg, err_gp, err_obs = graph.unweighted_errors(
-                    spec, planner.robot, params_fix, th_new, sdf
-                )
-                terms = one_step_loss(
-                    dth, th_opt - th, err_sg, err_gp, err_obs,
-                    weights, spec.dof,
-                )
+                terms = _step_loss(spec, planner.robot, params_fix, sdf,
+                                   dth, th, th_new, th_opt, weights)
                 loss_acc = loss_acc + terms.total
             th = th_new
         denom = train_cfg.tk if train_cfg.use_inter_loss else 1

@@ -199,6 +199,44 @@ def test_sliding_tbptt_tk2_equals_tk_matches_chunked():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_smooth_max_penetration_surrogate():
+    """Zero when every hinge is inactive; approaches the per-problem max
+    interior penetration for large beta; endpoints excluded; differentiable."""
+    from dgpmp2_tpu.learn.losses import smooth_max_penetration
+
+    r = jnp.zeros((2, 6, 1))
+    np.testing.assert_allclose(
+        np.asarray(smooth_max_penetration(r, 30.0)), np.zeros(2), atol=0
+    )
+    # problem 0: worst interior hinge 0.5; problem 1: only ENDPOINT hinges
+    r = r.at[0, 2, 0].set(0.1).at[0, 3, 0].set(0.5)
+    r = r.at[1, 0, 0].set(2.0).at[1, 5, 0].set(2.0)
+    out = np.asarray(smooth_max_penetration(r, 200.0))
+    np.testing.assert_allclose(out, [0.5, 0.0], atol=1e-3)
+    g = jax.grad(lambda x: jnp.sum(smooth_max_penetration(x, 30.0)))(r)
+    assert float(jnp.abs(g[0, 3, 0])) > 0  # gradient concentrates on worst
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_one_step_loss_max_pen_term():
+    from dgpmp2_tpu.learn.losses import one_step_loss
+
+    b, t1, d = 2, 6, 4
+    dth = jnp.zeros((b, t1, d))
+    errs = jnp.zeros((b,))
+    r_obs = jnp.zeros((b, t1, 1)).at[0, 3, 0].set(0.5)
+    w0 = LossWeights(ext_loss_weight=0.0)
+    w1 = LossWeights(ext_loss_weight=0.0, max_pen_weight=2.0,
+                     max_pen_beta=200.0)
+    t_base = one_step_loss(dth, dth, errs, errs, errs, w0, 2)
+    t_pen = one_step_loss(dth, dth, errs, errs, errs, w1, 2, r_obs=r_obs)
+    assert float(t_base.total) == 0.0
+    # mean over B=2 of smooth-max [0.5, 0] = 0.25, times weight 2
+    np.testing.assert_allclose(float(t_pen.total), 0.5, atol=1e-3)
+    with pytest.raises(ValueError):
+        one_step_loss(dth, dth, errs, errs, errs, w1, 2)
+
+
 @pytest.mark.slow
 def test_optimize_tk_single_window_matches_batch_update():
     """``optimize_tk`` with T == tk is one window ⇒ one accumulated-gradient

@@ -71,6 +71,17 @@ CONFIGS = {
     # Learned per-state safety margin eps on top of the covariances.
     "task_eps": (dict(pos_loss_weight=0.0, ext_loss_weight=1.0,
                       ext_obs_lambda=5.0), dict(learn_eps=True)),
+    # Smooth-max penetration surrogate: solve_rate fails a problem on its
+    # single worst interior hinge, so optimize that state directly instead
+    # of the 1/(T·L)-diluted mean hinge (losses.smooth_max_penetration).
+    "task_maxpen": (dict(pos_loss_weight=0.0, ext_loss_weight=0.1,
+                         ext_obs_lambda=1.0, max_pen_weight=5.0),
+                    dict(static_init=(1.0, 0.02, COV["epsilon_dist"]))),
+    # Same surrogate, initialized at this dataset's static sweep winner
+    # (sigma=0.01) so learning starts from the strongest baseline.
+    "task_maxpen01": (dict(pos_loss_weight=0.0, ext_loss_weight=0.1,
+                           ext_obs_lambda=1.0, max_pen_weight=5.0),
+                      dict(static_init=(1.0, 0.01, COV["epsilon_dist"]))),
 }
 
 
