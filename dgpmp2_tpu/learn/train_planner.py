@@ -135,6 +135,8 @@ def main(argv=None):
         ext_obs_lambda=float(opt.get("ext_obs_lambda", 1.0)),
         ext_loss_weight=float(opt.get("ext_loss_weight", 0.0)),
         pos_loss_weight=float(opt.get("pos_loss_weight", 1.0)),
+        max_pen_weight=float(opt.get("max_pen_weight", 0.0)),
+        max_pen_beta=float(opt.get("max_pen_beta", 30.0)),
     )
     train_step = make_train_step(planner, tx, weights, tcfg)
     batch_size = int(opt.get("batch_size", 16))
