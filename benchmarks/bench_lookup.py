@@ -29,6 +29,7 @@ import numpy as np
 from dgpmp2_tpu.ops import sdf as sdf_ops
 from dgpmp2_tpu.ops.pallas.sdf_lookup import (
     bilinear_lookup_pallas, bilinear_lookup_pallas_v2,
+    bilinear_lookup_pallas_v3,
 )
 
 B, P, IMSIZE = 1024, 101, 128
@@ -61,6 +62,14 @@ def variant_fn(name):
         spp = int(name.split(":")[1]) if ":" in name else 32
         return lambda s, p: bilinear_lookup_pallas_v2(
             s, p, RES, LIMS, LIMS, spp
+        )
+    if name.startswith("pallas_v3"):
+        # pallas_v3[:<spp>[:<n_limbs>]]
+        parts = name.split(":")
+        spp = int(parts[1]) if len(parts) > 1 else 32
+        n_limbs = int(parts[2]) if len(parts) > 2 else 3
+        return lambda s, p: bilinear_lookup_pallas_v3(
+            s, p, RES, LIMS, LIMS, spp, n_limbs
         )
     raise ValueError(name)
 

@@ -449,12 +449,24 @@ def _pallas_v2_lookup(sdf, points, res, x_lims, y_lims):
     )
 
 
+def _pallas_v3_lookup(sdf, points, res, x_lims, y_lims):
+    from dgpmp2_tpu.ops.pallas.sdf_lookup import bilinear_lookup_pallas_v3
+
+    n_limbs = 3
+    tile_bytes = sdf.shape[-1] * sdf.shape[-2] * 2 * n_limbs
+    spp = min(32, max(1, (2 * 1024 * 1024) // tile_bytes))
+    return bilinear_lookup_pallas_v3(
+        sdf, points, res, tuple(x_lims), tuple(y_lims), spp, n_limbs
+    )
+
+
 _LOOKUP_FNS = {
     "gather": bilinear_lookup,
     "mxu": bilinear_lookup_mxu,
     "rows": bilinear_lookup_rows,
     "pallas": _pallas_lookup,
     "pallas_v2": _pallas_v2_lookup,
+    "pallas_v3": _pallas_v3_lookup,
 }
 
 
