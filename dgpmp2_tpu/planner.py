@@ -246,6 +246,36 @@ class GPMP2Planner:
         err_new = graph.graph_error(self.spec, self.robot, params, th + dth, sdf)
         return dth, err_new
 
+    def step(self, th, start, goal, sdf, optim_params=None):
+        """One Gauss-Newton step on a single problem — returns
+        ``(dtheta, err_old)`` like the reference's ``GPMP2Planner.step``
+        (``gpmp2_planner.py:41-60``): the caller owns the iteration loop
+        (see ``examples/gpmp2_2d_step_example.py``)."""
+        reg = float((optim_params or {}).get("reg", 0.0))
+        params = self._diff.make_params(
+            jnp.asarray(start, self.dtype)[None],
+            jnp.asarray(goal, self.dtype)[None],
+        )
+        thb = jnp.asarray(th, self.dtype)[None]
+        sdfb = jnp.asarray(sdf, self.dtype)[None]
+        err_old = graph.graph_error(self.spec, self.robot, params, thb, sdfb)
+        dth, _ = self._step(params, thb, sdfb,
+                            jnp.asarray(reg, self.dtype), False)
+        return dth[0], float(err_old[0])
+
+    def error(self, th, start, goal, sdf):
+        """Weighted graph error of one trajectory (``gpmp2_planner.py`` /
+        the step example's ``planner.error``)."""
+        params = self._diff.make_params(
+            jnp.asarray(start, self.dtype)[None],
+            jnp.asarray(goal, self.dtype)[None],
+        )
+        return float(graph.graph_error(
+            self.spec, self.robot, params,
+            jnp.asarray(th, self.dtype)[None],
+            jnp.asarray(sdf, self.dtype)[None],
+        )[0])
+
     def plan(self, start, goal, th_init, sdf, optim_params=None):
         """Single-problem plan; returns ``(th, err_init, err_final,
         err_per_iter, iters, time_taken)`` like ``gpmp2_planner.py:62-131``."""
