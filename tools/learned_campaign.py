@@ -82,6 +82,20 @@ CONFIGS = {
     "task_maxpen01": (dict(pos_loss_weight=0.0, ext_loss_weight=0.1,
                            ext_obs_lambda=1.0, max_pen_weight=5.0),
                       dict(static_init=(1.0, 0.01, COV["epsilon_dist"]))),
+    # Wave 2 (after the first sweep): task_eps won solve_rate decisively
+    # (0.66 vs 0.39 static) but with wild trajectories (gp_error 2.2,
+    # pos_mse 284) — the ext loss alone doesn't anchor smoothness once
+    # learned eps inflates the margins.  Anchor it:
+    # a mild expert-imitation term keeps the trajectory near the expert
+    # while eps-learning buys clearance.
+    "eps_anchor": (dict(pos_loss_weight=0.05, ext_loss_weight=1.0,
+                        ext_obs_lambda=5.0), dict(learn_eps=True)),
+    # eps-learning + worst-state surrogate from the sweep-winner init —
+    # combine the two winning mechanisms.
+    "eps_maxpen": (dict(pos_loss_weight=0.0, ext_loss_weight=0.1,
+                        ext_obs_lambda=1.0, max_pen_weight=5.0),
+                   dict(learn_eps=True,
+                        static_init=(1.0, 0.01, COV["epsilon_dist"]))),
 }
 
 
@@ -334,7 +348,14 @@ def main(argv=None):
                                             static[s]["contact_free_rate"]))
     print(f"[static] best sigma={best_sigma}: {static[best_sigma]}")
 
-    results = {"static_best": {"sigma": best_sigma, **static[best_sigma]}}
+    # Merge with earlier runs so incremental --configs invocations extend
+    # the same results table instead of overwriting it.
+    results_file = os.path.join(args.out, "results.yaml")
+    results = {}
+    if os.path.exists(results_file):
+        with open(results_file) as fp:
+            results = yaml.safe_load(fp) or {}
+    results["static_best"] = {"sigma": best_sigma, **static[best_sigma]}
     for name in args.configs:
         w_over, lcfg_over = CONFIGS[name]
         planner, state = train_config(name, w_over, lcfg_over, roots, args,
