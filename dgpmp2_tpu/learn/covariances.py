@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from dgpmp2_tpu.core.graph import GraphSpec
@@ -51,9 +52,17 @@ def out_dim(spec: GraphSpec, mode: str, learn_eps: bool = False) -> int:
 
 
 def decode(
-    out: jnp.ndarray, spec: GraphSpec, mode: str, learn_eps: bool = False
+    out: jnp.ndarray, spec: GraphSpec, mode: str, learn_eps: bool = False,
+    eps_max: float = None,
 ) -> DecodedCovariances:
-    """Decode the flat (B, out_dim) network output into covariances."""
+    """Decode the flat (B, out_dim) network output into covariances.
+
+    ``eps_max``: when set (and ``learn_eps``), the safety margin decodes as
+    ``eps_max * sigmoid(s)`` instead of the unbounded ``s**2`` — bounding
+    how far learning can inflate the planner's hinge margin.  Unbounded
+    eps lets a task-only loss game the margin-violation solve-rate metric
+    (the campaign measured solve 0.99 with goal error 1.3: the planner
+    stops tracking the goal and flees obstacles instead)."""
     if mode not in MODES:
         raise ValueError(f"unknown dynamics_mode {mode!r}; expected one of {MODES}")
     b = out.shape[0]
@@ -88,5 +97,5 @@ def decode(
     eps = None
     if learn_eps:
         se = out[:, gp_terms + num_obs :].reshape(b, tn, l)
-        eps = se * se
+        eps = se * se if eps_max is None else eps_max * jax.nn.sigmoid(se)
     return DecodedCovariances(qc_inv=qc_inv, q_inv=q_inv, obs_inv=obs_inv, eps=eps)

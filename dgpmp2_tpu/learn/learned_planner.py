@@ -33,6 +33,10 @@ class LearnedPlannerConfig:
 
     dynamics_mode: str = "diag_identity"
     learn_eps: bool = False
+    # Bound on the learned safety margin: eps = eps_max * sigmoid(s)
+    # instead of the unbounded s**2 (covariances.decode).  None keeps the
+    # reference-faithful unbounded decode.
+    eps_max: Optional[float] = None
     sdf_predict: bool = True  # feed (im, sdf) vs im only
     # Feed the hinge costmap max(0, (eps + r) - sdf) as the SDF channel —
     # the reference's ``costmap_predict`` learn flag (read at
@@ -112,7 +116,14 @@ class LearnedDiffGPMP2Planner:
                     "q_full": t * spec.state_dim}[mode]
         bias = [gp_val] * gp_terms + [obs_val] * (tn * l)
         if cfg.learn_eps:
-            bias += [math.sqrt(float(eps))] * (tn * l)
+            if cfg.eps_max is not None:
+                # sigmoid decode: bias = logit(eps0 / eps_max) so the init
+                # forward pass still decodes exactly eps0.
+                p = min(max(float(eps) / float(cfg.eps_max), 1e-6), 1 - 1e-6)
+                eps_bias = math.log(p / (1.0 - p))
+            else:
+                eps_bias = math.sqrt(float(eps))
+            bias += [eps_bias] * (tn * l)
         return tuple(bias)
 
     # -- variable init -----------------------------------------------------
@@ -202,6 +213,7 @@ class LearnedDiffGPMP2Planner:
         covs = cov_lib.decode(
             out.astype(jnp.float32), self.spec,
             self.learn_cfg.dynamics_mode, self.learn_cfg.learn_eps,
+            self.learn_cfg.eps_max,
         )
         return covs, new_hidden, new_state
 

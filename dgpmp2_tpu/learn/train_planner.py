@@ -56,6 +56,7 @@ def build_planner(planner_params, env_data, optim_params, learn_params, robot,
     lcfg = LearnedPlannerConfig(
         dynamics_mode=lp["dgpmp2"]["dynamics_mode"],
         learn_eps=bool(lp["dgpmp2"].get("learn_eps", False)),
+        eps_max=lp["dgpmp2"].get("eps_max"),
         sdf_predict=bool(lp["dgpmp2"].get("sdf_predict", True)),
         fixed_conv=bool(lp["dgpmp2"].get("fixed_conv", False)),
         dtheta_predict=bool(lp["dgpmp2"].get("dtheta_predict", False)),

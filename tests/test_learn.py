@@ -171,6 +171,29 @@ def test_static_init_head_matches_fixed_planner():
     np.testing.assert_allclose(np.asarray(dth_l), np.asarray(dth_s), atol=1e-4)
 
 
+def test_eps_max_bounded_decode_and_static_init():
+    """eps_max decode: eps = eps_max*sigmoid(s) stays in (0, eps_max) and
+    the static_init bias still decodes exactly eps0."""
+    from dgpmp2_tpu.learn import covariances as cov_lib
+
+    eps0, eps_max = 0.4, 0.8
+    lcfg = LearnedPlannerConfig(dynamics_mode="diag_identity",
+                                learn_eps=True, eps_max=eps_max,
+                                static_init=(1.0, 0.1, eps0))
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=2), lcfg,
+    )
+    bias = planner.static_out_bias(1.0, 0.1, eps0)
+    out = jnp.asarray(bias, jnp.float32)[None, :]
+    covs = cov_lib.decode(out, SPEC, "diag_identity", True, eps_max)
+    np.testing.assert_allclose(np.asarray(covs.eps), eps0, atol=1e-6)
+    # arbitrary outputs stay bounded
+    rng_out = jax.random.normal(jax.random.PRNGKey(1), out.shape) * 50.0
+    covs2 = cov_lib.decode(rng_out, SPEC, "diag_identity", True, eps_max)
+    assert float(covs2.eps.max()) <= eps_max
+    assert float(covs2.eps.min()) >= 0.0
+
+
 @pytest.mark.slow
 def test_sliding_tbptt_tk2_equals_tk_matches_chunked():
     """Sliding-window TBPTT with tk2 == tk is mathematically identical to

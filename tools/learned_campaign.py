@@ -96,6 +96,27 @@ CONFIGS = {
                         ext_obs_lambda=1.0, max_pen_weight=5.0),
                    dict(learn_eps=True,
                         static_init=(1.0, 0.01, COV["epsilon_dist"]))),
+    # Wave 3: eps_maxpen solved 0.89 but by gaming the metric (gp_error
+    # 23, sg_error 0.85 — it stopped reaching the goal; solve_rate does
+    # not check goal attainment).  Re-anchor with the expert term and the
+    # full ext loss (which carries sg + gp at weight 1).
+    "eps_maxpen_anchor": (dict(pos_loss_weight=0.05, ext_loss_weight=1.0,
+                               ext_obs_lambda=1.0, max_pen_weight=3.0),
+                          dict(learn_eps=True,
+                               static_init=(1.0, 0.01, COV["epsilon_dist"]))),
+    # Wave 4: bounded eps (eps = eps_max*sigmoid) caps the metric-gaming
+    # channel — the planner can at most double its margins, so solve-rate
+    # gains must come from genuine clearance, not from fleeing the task.
+    "eps_bounded": (dict(pos_loss_weight=0.0, ext_loss_weight=1.0,
+                         ext_obs_lambda=5.0),
+                    dict(learn_eps=True, eps_max=2 * COV["epsilon_dist"],
+                         static_init=(1.0, 0.01, COV["epsilon_dist"]))),
+    # Bounded eps + worst-state surrogate + mild expert anchor.
+    "eps_bounded_maxpen": (dict(pos_loss_weight=0.05, ext_loss_weight=1.0,
+                                ext_obs_lambda=2.0, max_pen_weight=3.0),
+                           dict(learn_eps=True,
+                                eps_max=2 * COV["epsilon_dist"],
+                                static_init=(1.0, 0.01, COV["epsilon_dist"]))),
 }
 
 
@@ -368,7 +389,8 @@ def main(argv=None):
 
     # Markdown table for PERFORMANCE.md.
     keys = ["solve_rate", "contact_free_rate", "avg_gp_error",
-            "avg_max_penetration", "avg_coll_intensity", "avg_pos_mse"]
+            "avg_sg_error", "avg_max_penetration", "avg_coll_intensity",
+            "avg_pos_mse"]
     lines = ["| config | " + " | ".join(keys) + " |",
              "|---|" + "---|" * len(keys)]
     for name, r in results.items():
