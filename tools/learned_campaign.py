@@ -117,6 +117,13 @@ CONFIGS = {
                            dict(learn_eps=True,
                                 eps_max=2 * COV["epsilon_dist"],
                                 static_init=(1.0, 0.01, COV["epsilon_dist"]))),
+    # Recurrent head (reference model.type rnn_gru) at scale: one GRU step
+    # per GN iteration.
+    "eps_bounded_gru": (dict(pos_loss_weight=0.0, ext_loss_weight=1.0,
+                             ext_obs_lambda=5.0),
+                        dict(learn_eps=True, eps_max=2 * COV["epsilon_dist"],
+                             static_init=(1.0, 0.01, COV["epsilon_dist"]),
+                             model_type="rnn_gru")),
 }
 
 
