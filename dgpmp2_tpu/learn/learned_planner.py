@@ -90,6 +90,7 @@ class LearnedDiffGPMP2Planner:
                 num_hidden=learn_cfg.num_hidden,
                 cell_type="lstm" if learn_cfg.model_type == "rnn_lstm" else "gru",
                 dtype=learn_cfg.dtype,
+                out_bias=out_bias,
             )
 
     @property
@@ -119,7 +120,13 @@ class LearnedDiffGPMP2Planner:
             if cfg.eps_max is not None:
                 # sigmoid decode: bias = logit(eps0 / eps_max) so the init
                 # forward pass still decodes exactly eps0.
-                p = min(max(float(eps) / float(cfg.eps_max), 1e-6), 1 - 1e-6)
+                p = float(eps) / float(cfg.eps_max)
+                if not 0.0 < p < 1.0:
+                    raise ValueError(
+                        f"static_init eps {eps} must lie strictly inside "
+                        f"(0, eps_max={cfg.eps_max}) for the sigmoid decode "
+                        "to reproduce it at init"
+                    )
                 eps_bias = math.log(p / (1.0 - p))
             else:
                 eps_bias = math.sqrt(float(eps))

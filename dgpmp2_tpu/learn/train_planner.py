@@ -56,7 +56,8 @@ def build_planner(planner_params, env_data, optim_params, learn_params, robot,
     lcfg = LearnedPlannerConfig(
         dynamics_mode=lp["dgpmp2"]["dynamics_mode"],
         learn_eps=bool(lp["dgpmp2"].get("learn_eps", False)),
-        eps_max=lp["dgpmp2"].get("eps_max"),
+        eps_max=(float(lp["dgpmp2"]["eps_max"])
+                 if lp["dgpmp2"].get("eps_max") is not None else None),
         sdf_predict=bool(lp["dgpmp2"].get("sdf_predict", True)),
         fixed_conv=bool(lp["dgpmp2"].get("fixed_conv", False)),
         dtheta_predict=bool(lp["dgpmp2"].get("dtheta_predict", False)),

@@ -65,13 +65,19 @@ class FeedForwardHead(nn.Module):
 
 
 class RecurrentHead(nn.Module):
-    """GRU/LSTM head: one recurrence step per GN iteration."""
+    """GRU/LSTM head: one recurrence step per GN iteration.
+
+    ``out_bias`` works exactly as on :class:`FeedForwardHead`: zero-init
+    final kernel + constant bias, so the init forward pass emits the
+    static-baseline output regardless of the recurrent state.
+    """
 
     out_dim: int
     hidden_dim: int = 64
     num_hidden: int = 1
     cell_type: str = "lstm"  # or "gru"
     dtype: jnp.dtype = jnp.float32
+    out_bias: Optional[Tuple[float, ...]] = None
 
     @nn.nowrap
     def _cells(self, named: bool = True):
@@ -89,8 +95,17 @@ class RecurrentHead(nn.Module):
         for i, cell in enumerate(self._cells()):
             h, x = cell(hidden[i], x)
             new_hidden.append(h)
-        out = nn.Dense(self.out_dim, kernel_init=nn.initializers.xavier_uniform(),
-                       dtype=self.dtype)(x)
+        if self.out_bias is not None:
+            bias_init = (
+                lambda key, shape, dtype=self.dtype: jnp.asarray(self.out_bias,
+                                                                 dtype)
+            )
+            kernel_init = nn.initializers.zeros_init()
+        else:
+            bias_init = nn.initializers.zeros_init()
+            kernel_init = nn.initializers.xavier_uniform()
+        out = nn.Dense(self.out_dim, kernel_init=kernel_init,
+                       bias_init=bias_init, dtype=self.dtype)(x)
         return out, tuple(new_hidden)
 
     @nn.nowrap

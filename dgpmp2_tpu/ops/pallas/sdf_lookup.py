@@ -91,8 +91,11 @@ def _make_kernel(s_per_prog: int, p_pad: int, h: int, w: int,
     return kernel
 
 
-def _lookup_impl(sdf, points, res, x_lims, y_lims,
-                 s_per_prog: int = 8, interpret: bool = False):
+def _pad_inputs(sdf, points, s_per_prog):
+    """Pad points to a 128-lane multiple and the batch to a grid multiple.
+
+    Returns ``(sdf, x, y, b, p, p_pad, b_pad)`` — the shared prologue of
+    every fused-lookup variant."""
     b, h, w = sdf.shape
     p = points.shape[-2]
     p_pad = -(-p // 128) * 128
@@ -111,6 +114,27 @@ def _lookup_impl(sdf, points, res, x_lims, y_lims,
         zf = jnp.zeros((b_pad - b, p_pad), x.dtype)
         x = jnp.concatenate([x, zf], axis=0)
         y = jnp.concatenate([y, zf], axis=0)
+    return sdf, x, y, b, p, p_pad, b_pad
+
+
+def _mxu_replay_bwd(res_, x_lims, y_lims, *extra):
+    """Shared custom-VJP backward: replay the XLA one-hot formulation under
+    ``jax.vjp`` for exact cotangents (trailing nondiff args ignored)."""
+    saved, cot = extra[-2], extra[-1]
+    from dgpmp2_tpu.ops.sdf import bilinear_lookup_mxu
+
+    sdf, points = saved
+    _, vjp_fn = jax.vjp(
+        lambda s, p: bilinear_lookup_mxu(s, p, res_, x_lims, y_lims),
+        sdf, points,
+    )
+    return vjp_fn(cot)
+
+
+def _lookup_impl(sdf, points, res, x_lims, y_lims,
+                 s_per_prog: int = 8, interpret: bool = False):
+    sdf, x, y, b, p, p_pad, b_pad = _pad_inputs(sdf, points, s_per_prog)
+    h, w = sdf.shape[-2:]
 
     kernel = _make_kernel(s_per_prog, p_pad, h, w, res, tuple(x_lims),
                           tuple(y_lims))
@@ -219,24 +243,8 @@ def _make_kernel_v2(s_per_prog: int, p_pad: int, h: int, w: int,
 
 def _lookup_impl_v2(sdf, points, res, x_lims, y_lims,
                     s_per_prog: int = 32, interpret: bool = False):
-    b, h, w = sdf.shape
-    p = points.shape[-2]
-    p_pad = -(-p // 128) * 128
-    b_pad = -(-b // s_per_prog) * s_per_prog
-
-    x = points[..., 0]
-    y = points[..., 1]
-    if p_pad != p:
-        fill = jnp.zeros((b, p_pad - p), points.dtype)
-        x = jnp.concatenate([x, fill], axis=-1)
-        y = jnp.concatenate([y, fill], axis=-1)
-    if b_pad != b:
-        sdf = jnp.concatenate(
-            [sdf, jnp.zeros((b_pad - b, h, w), sdf.dtype)], axis=0
-        )
-        zf = jnp.zeros((b_pad - b, p_pad), x.dtype)
-        x = jnp.concatenate([x, zf], axis=0)
-        y = jnp.concatenate([y, zf], axis=0)
+    sdf, x, y, b, p, p_pad, b_pad = _pad_inputs(sdf, points, s_per_prog)
+    h, w = sdf.shape[-2:]
 
     kernel = _make_kernel_v2(s_per_prog, p_pad, h, w, res, tuple(x_lims),
                              tuple(y_lims))
@@ -357,24 +365,8 @@ def _limb_split(sdf, n_limbs):
 def _lookup_impl_v3(sdf, points, res, x_lims, y_lims,
                     s_per_prog: int = 32, n_limbs: int = 3,
                     interpret: bool = False):
-    b, h, w = sdf.shape
-    p = points.shape[-2]
-    p_pad = -(-p // 128) * 128
-    b_pad = -(-b // s_per_prog) * s_per_prog
-
-    x = points[..., 0]
-    y = points[..., 1]
-    if p_pad != p:
-        fill = jnp.zeros((b, p_pad - p), points.dtype)
-        x = jnp.concatenate([x, fill], axis=-1)
-        y = jnp.concatenate([y, fill], axis=-1)
-    if b_pad != b:
-        sdf = jnp.concatenate(
-            [sdf, jnp.zeros((b_pad - b, h, w), sdf.dtype)], axis=0
-        )
-        zf = jnp.zeros((b_pad - b, p_pad), x.dtype)
-        x = jnp.concatenate([x, zf], axis=0)
-        y = jnp.concatenate([y, zf], axis=0)
+    sdf, x, y, b, p, p_pad, b_pad = _pad_inputs(sdf, points, s_per_prog)
+    h, w = sdf.shape[-2:]
 
     limbs = _limb_split(sdf, n_limbs)
     kernel = _make_kernel_v3(s_per_prog, p_pad, h, w, res, tuple(x_lims),
@@ -419,18 +411,7 @@ def _fwd_v3(sdf, points, res, x_lims, y_lims, s_per_prog, n_limbs, interpret):
     return out, (sdf, points)
 
 
-def _bwd_v3(res_, x_lims, y_lims, s_per_prog, n_limbs, interpret, saved, cot):
-    from dgpmp2_tpu.ops.sdf import bilinear_lookup_mxu
-
-    sdf, points = saved
-    _, vjp_fn = jax.vjp(
-        lambda s, p: bilinear_lookup_mxu(s, p, res_, x_lims, y_lims),
-        sdf, points,
-    )
-    return vjp_fn(cot)
-
-
-bilinear_lookup_pallas_v3.defvjp(_fwd_v3, _bwd_v3)
+bilinear_lookup_pallas_v3.defvjp(_fwd_v3, _mxu_replay_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -450,17 +431,6 @@ def _fwd_v2(sdf, points, res, x_lims, y_lims, s_per_prog, interpret):
     return out, (sdf, points)
 
 
-def _bwd_v2(res_, x_lims, y_lims, s_per_prog, interpret, saved, cot):
-    from dgpmp2_tpu.ops.sdf import bilinear_lookup_mxu
-
-    sdf, points = saved
-    _, vjp_fn = jax.vjp(
-        lambda s, p: bilinear_lookup_mxu(s, p, res_, x_lims, y_lims),
-        sdf, points,
-    )
-    return vjp_fn(cot)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def bilinear_lookup_pallas(sdf, points, res, x_lims, y_lims,
                            s_per_prog: int = 8, interpret: bool = False):
@@ -478,16 +448,5 @@ def _fwd(sdf, points, res, x_lims, y_lims, s_per_prog, interpret):
     return out, (sdf, points)
 
 
-def _bwd(res_, x_lims, y_lims, s_per_prog, interpret, saved, cot):
-    from dgpmp2_tpu.ops.sdf import bilinear_lookup_mxu
-
-    sdf, points = saved
-    _, vjp_fn = jax.vjp(
-        lambda s, p: bilinear_lookup_mxu(s, p, res_, x_lims, y_lims),
-        sdf, points,
-    )
-    return vjp_fn(cot)
-
-
-bilinear_lookup_pallas.defvjp(_fwd, _bwd)
-bilinear_lookup_pallas_v2.defvjp(_fwd_v2, _bwd_v2)
+bilinear_lookup_pallas.defvjp(_fwd, _mxu_replay_bwd)
+bilinear_lookup_pallas_v2.defvjp(_fwd_v2, _mxu_replay_bwd)

@@ -433,10 +433,12 @@ def _pallas_lookup(sdf, points, res, x_lims, y_lims):
     )
 
 
-def _pallas_v2_spp(sdf) -> int:
+def _pallas_spp(sdf, bytes_per_px: int = 4) -> int:
     """Samples per grid program sized so the SDF tile stays ~2 MB (Mosaic
-    double-buffers input blocks; 32 is the measured sweet spot at 128²)."""
-    tile_bytes = sdf.shape[-1] * sdf.shape[-2] * 4
+    double-buffers input blocks; 32 is the measured sweet spot at 128²).
+    ``bytes_per_px``: 4 for the f32 v2 kernel, 2·n_limbs for the bf16
+    limb-decomposed v3 kernel."""
+    tile_bytes = sdf.shape[-1] * sdf.shape[-2] * bytes_per_px
     spp = max(1, (2 * 1024 * 1024) // tile_bytes)
     return min(32, spp)
 
@@ -445,7 +447,7 @@ def _pallas_v2_lookup(sdf, points, res, x_lims, y_lims):
     from dgpmp2_tpu.ops.pallas.sdf_lookup import bilinear_lookup_pallas_v2
 
     return bilinear_lookup_pallas_v2(
-        sdf, points, res, tuple(x_lims), tuple(y_lims), _pallas_v2_spp(sdf)
+        sdf, points, res, tuple(x_lims), tuple(y_lims), _pallas_spp(sdf)
     )
 
 
@@ -453,10 +455,9 @@ def _pallas_v3_lookup(sdf, points, res, x_lims, y_lims):
     from dgpmp2_tpu.ops.pallas.sdf_lookup import bilinear_lookup_pallas_v3
 
     n_limbs = 3
-    tile_bytes = sdf.shape[-1] * sdf.shape[-2] * 2 * n_limbs
-    spp = min(32, max(1, (2 * 1024 * 1024) // tile_bytes))
     return bilinear_lookup_pallas_v3(
-        sdf, points, res, tuple(x_lims), tuple(y_lims), spp, n_limbs
+        sdf, points, res, tuple(x_lims), tuple(y_lims),
+        _pallas_spp(sdf, 2 * n_limbs), n_limbs,
     )
 
 

@@ -171,6 +171,29 @@ def test_static_init_head_matches_fixed_planner():
     np.testing.assert_allclose(np.asarray(dth_l), np.asarray(dth_s), atol=1e-4)
 
 
+def test_recurrent_head_static_init_emits_bias():
+    """RecurrentHead honors out_bias: the init forward pass emits exactly
+    the static-baseline output regardless of features / hidden state."""
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=2),
+        LearnedPlannerConfig(dynamics_mode="diag_identity",
+                             model_type="rnn_gru", learn_eps=True,
+                             eps_max=0.8, static_init=(1.0, 0.1, 0.4)),
+    )
+    batch = _toy_batch()
+    rng = jax.random.PRNGKey(0)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    th0 = batch["th_opt"]
+    variables = planner.init_variables(rng, im_stack, th0)
+    feats = planner.conv_features(variables, im_stack)
+    hidden = planner.init_hidden(jax.random.PRNGKey(1), th0.shape[0],
+                                 feats.shape[-1] + (th0.shape[1]) * 2)
+    covs, _, _ = planner.predict(variables, th0, feats, hidden=hidden)
+    np.testing.assert_allclose(np.asarray(covs.eps), 0.4, atol=1e-5)
+    qc_diag = np.asarray(covs.qc_inv)[..., 0, 0]
+    np.testing.assert_allclose(qc_diag, 1.0, atol=1e-5)
+
+
 def test_eps_max_bounded_decode_and_static_init():
     """eps_max decode: eps = eps_max*sigmoid(s) stays in (0, eps_max) and
     the static_init bias still decodes exactly eps0."""

@@ -37,12 +37,20 @@ from learned_campaign import COV
 def main():
     out_root, family, mode = sys.argv[1], sys.argv[2], sys.argv[3]
     n, probs = int(sys.argv[4]), int(sys.argv[5])
-    seed = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    # Default seed folds in (family, mode) so concurrent splits can never
+    # share an RNG stream: a common seed 0 across train/test would make
+    # the "held-out" test split an exact prefix of the train set.
+    if len(sys.argv) > 6:
+        seed = int(sys.argv[6])
+    else:
+        import zlib  # stable across processes (hash() is salted)
+
+        seed = zlib.crc32(f"{family}/{mode}".encode())
     spec = graph.GraphSpec(total_time_step=100)
     robot = PointRobot2D()
     cfg = gn.OptimConfig(reg=0.1, max_iters=60, method="lm")
     out_dir = os.path.join(out_root, f"data_{family}", mode)
-    if os.path.exists(os.path.join(os.path.dirname(out_dir), mode, "meta.yaml")):
+    if os.path.exists(os.path.join(out_dir, "meta.yaml")):
         print(f"[gen] {family}/{mode}: exists")
         return
     rng = np.random.default_rng(seed)
