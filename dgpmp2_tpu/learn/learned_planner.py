@@ -299,6 +299,13 @@ class LearnedDiffGPMP2Planner:
         iters = max_iters or self.cfg.max_iters
         im_stack = self.stack_inputs(im, sdf)
         feats = self.conv_features(variables, im_stack, train=False)
+        if self.recurrent and hidden is None:
+            # Zero recurrent carry (the flax cell inits are deterministic;
+            # the key only seeds shape metadata).
+            hidden = self.init_hidden(
+                jax.random.PRNGKey(0), th_init.shape[0],
+                feats.shape[-1] + self._head_pos(th_init).shape[-1],
+            )
 
         def best_score(th):
             res = graph.eval_residuals(self.spec, self.robot, params_fix,
