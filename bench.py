@@ -68,7 +68,7 @@ def build_problem():
 
 def main():
     spec, robot, params, th0, sdf = build_problem()
-    iters = 50
+    iters_short, iters_long = 50, 500
 
     # Measure the production hot path: the compiled plan loop (assembly +
     # solve + err/err_ext traces per iteration, the reference's
@@ -82,25 +82,41 @@ def main():
     # engine, parity-tested in tests/test_gn_stream.py.  DGPMP2_ENGINE=auto
     # benchmarks the standard path.
     engine = os.environ.get("DGPMP2_ENGINE", "stream")
-    cfg = gn.OptimConfig(reg=0.1, max_iters=iters, tol_delta=0.0,
-                         engine=engine)
+    # Lookup-engine A/B (DGPMP2_LOOKUP=pallas_v3 etc.); default auto.
+    lookup = os.environ.get("DGPMP2_LOOKUP")
+    if lookup:
+        sdf_ops.set_lookup_method(lookup)
 
-    # unroll=4 lets XLA software-pipeline adjacent iterations (measured
-    # 1.67 -> 1.59 ms/iter; unroll=8 regresses to ~2.0).
-    @jax.jit
-    def run_n(p, th, s):
-        return gn.plan(spec, robot, p, th, s, cfg, unroll=4).th
+    # Steady-state throughput by program-length differencing: one dispatch
+    # on the tunneled backend carries a FIXED ~30 ms of RPC/launch/fetch
+    # overhead regardless of program length (measured: 50 iters -> 37.8 ms,
+    # 200 -> 60.2, 500 -> 104.8; perfectly linear at 0.149 ms/iter +
+    # 30.3 ms).  Timing one N-iter program and dividing by N therefore
+    # overstates per-iteration cost by overhead/N (the round-1 "1.62
+    # ms/iter" was ~0.6 ms of tunnel overhead).  Timing the SAME compiled
+    # loop at two lengths and differencing removes the constant exactly
+    # while keeping every per-iteration cost inside the measurement.
+    def timed(iters, th_in):
+        cfg = gn.OptimConfig(reg=0.1, max_iters=iters, tol_delta=0.0,
+                             engine=engine)
+        # unroll=4 lets XLA software-pipeline adjacent iterations.
+        run_n = jax.jit(
+            lambda p, th, s: gn.plan(spec, robot, p, th, s, cfg, unroll=4).th
+        )
+        th = run_n(params, th_in, sdf)  # compile + warm-up
+        assert np.isfinite(float(jnp.sum(th))), "non-finite trajectories"
+        best = float("inf")
+        for k in range(3):
+            t0 = time.perf_counter()
+            out = run_n(params, th + 1e-6 * k, sdf)
+            float(jnp.sum(out))  # forces true completion on remote backend
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    th = run_n(params, th0, sdf)  # compile + warm-up
-    assert np.isfinite(float(jnp.sum(th))), "non-finite trajectories"
-
-    best = float("inf")
-    for k in range(3):
-        t0 = time.perf_counter()
-        out = run_n(params, th + 1e-6 * k, sdf)
-        float(jnp.sum(out))  # forces true completion on the remote backend
-        best = min(best, time.perf_counter() - t0)
-    ms = best / iters * 1e3
+    t_short = timed(iters_short, th0)
+    t_long = timed(iters_long, th0)
+    ms = (t_long - t_short) / (iters_long - iters_short) * 1e3
+    overhead_ms = t_short * 1e3 - iters_short * ms
 
     print(
         json.dumps(
@@ -109,6 +125,8 @@ def main():
                 "value": round(ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(NORTH_STAR_MS / ms, 4),
+                "dispatch_overhead_ms": round(overhead_ms, 1),
+                "total_ms_50_iters": round(t_short * 1e3, 1),
             }
         )
     )
