@@ -451,14 +451,18 @@ def _pallas_v2_lookup(sdf, points, res, x_lims, y_lims):
     )
 
 
-def _pallas_v3_lookup(sdf, points, res, x_lims, y_lims):
+def _pallas_v3_lookup(sdf, points, res, x_lims, y_lims, n_limbs: int = 3):
     from dgpmp2_tpu.ops.pallas.sdf_lookup import bilinear_lookup_pallas_v3
 
-    n_limbs = 3
     return bilinear_lookup_pallas_v3(
         sdf, points, res, tuple(x_lims), tuple(y_lims),
         _pallas_spp(sdf, 2 * n_limbs), n_limbs,
     )
+
+
+def _pallas_v3_2_lookup(sdf, points, res, x_lims, y_lims):
+    """2-limb variant: ~1.5e-5 relative forward accuracy, fewer MXU passes."""
+    return _pallas_v3_lookup(sdf, points, res, x_lims, y_lims, n_limbs=2)
 
 
 _LOOKUP_FNS = {
@@ -468,6 +472,7 @@ _LOOKUP_FNS = {
     "pallas": _pallas_lookup,
     "pallas_v2": _pallas_v2_lookup,
     "pallas_v3": _pallas_v3_lookup,
+    "pallas_v3_2": _pallas_v3_2_lookup,
 }
 
 
