@@ -117,6 +117,13 @@ CONFIGS = {
                            dict(learn_eps=True,
                                 eps_max=2 * COV["epsilon_dist"],
                                 static_init=(1.0, 0.01, COV["epsilon_dist"]))),
+    # XL eps_bounded peaked at epoch 3 then degraded (the task-only ext
+    # loss keeps dropping while val solve_rate falls) — same recipe at a
+    # 3x lower step size for a steadier climb.
+    "eps_bounded_lr1": (dict(pos_loss_weight=0.0, ext_loss_weight=1.0,
+                             ext_obs_lambda=5.0, _alpha=1e-4),
+                        dict(learn_eps=True, eps_max=2 * COV["epsilon_dist"],
+                             static_init=(1.0, 0.01, COV["epsilon_dist"]))),
     # Recurrent head (reference model.type rnn_gru) at scale: one GRU step
     # per GN iteration.
     "eps_bounded_gru": (dict(pos_loss_weight=0.0, ext_loss_weight=1.0,
@@ -242,6 +249,8 @@ def _val_solve_rate(planner, variables, spec, robot, val_batches):
 
 
 def train_config(name, w_over, lcfg_over, roots, args, out_dir):
+    w_over = dict(w_over)
+    alpha = w_over.pop("_alpha", args.alpha)  # per-config LR override
     ckpt = os.path.join(out_dir, f"{name}_vars.npz")
     planner = make_planner(args.t, lcfg_over)
     spec, robot = planner.spec, planner.robot
@@ -257,7 +266,7 @@ def train_config(name, w_over, lcfg_over, roots, args, out_dir):
                                      drop_remainder=True))
     rng_np = np.random.default_rng(1)
 
-    tx = make_optimizer("adam", {"alpha": args.alpha})
+    tx = make_optimizer("adam", {"alpha": alpha})
     weights = LossWeights(**w_over)
     tcfg = TrainConfig(T=args.unroll, tk=args.tk, use_inter_loss=True)
     train_step = make_train_step(planner, tx, weights, tcfg)
