@@ -88,14 +88,17 @@ def main(argv):
     from dgpmp2_tpu.core import stream as stream_lib
     from dgpmp2_tpu.ops import sdf as sdf_ops
 
-    stages = [a for a in argv if not a.startswith("--")] or [
-        "lookup", "resid", "assemble", "solve", "full"
-    ]
     chunk = 16
-    for a in argv:
+    positional = []
+    it = iter(argv)
+    for a in it:
         if a.startswith("--chunk"):
-            chunk = int(a.split("=")[1])
+            # accept both "--chunk=N" and "--chunk N"
+            chunk = int(a.split("=")[1]) if "=" in a else int(next(it))
             stream_lib.CHUNK = chunk
+        elif not a.startswith("--"):
+            positional.append(a)
+    stages = positional or ["lookup", "resid", "assemble", "solve", "full"]
 
     spec, robot, params, th0, sdf = build()
     res = 10.0 / IMSIZE

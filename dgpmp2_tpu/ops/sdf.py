@@ -157,11 +157,18 @@ _OOB_MODE = "intended"
 
 
 def set_oob_mode(mode: str) -> None:
-    """Select out-of-bounds lookup semantics: 'intended' | 'reference'."""
+    """Select out-of-bounds lookup semantics: 'intended' | 'reference'.
+
+    The mode is captured at TRACE time by jitted callers and is not part
+    of any jit cache key, so switching it must invalidate compiled
+    executables — otherwise a function traced under the old mode would
+    silently keep its old semantics on the next call."""
     global _OOB_MODE
     if mode not in ("intended", "reference"):
         raise ValueError(mode)
-    _OOB_MODE = mode
+    if mode != _OOB_MODE:
+        _OOB_MODE = mode
+        jax.clear_caches()
 
 
 def _axis_weights(p, p1c, p2c, f):

@@ -31,7 +31,8 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def make_mesh(devices: Optional[Sequence] = None, model_parallel: int = 1) -> Mesh:
+def make_mesh(devices: Optional[Sequence] = None, model_parallel: int = 1,
+              strict: bool = False) -> Mesh:
     """2-D ``(data, model)`` mesh over the given devices.
 
     With ``model_parallel=1`` this is pure data parallelism.  Axis order
@@ -40,11 +41,16 @@ def make_mesh(devices: Optional[Sequence] = None, model_parallel: int = 1) -> Me
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n % model_parallel:
+        if strict:
+            raise ValueError(
+                f"{n} devices not divisible by model_parallel={model_parallel}"
+            )
         import warnings
 
         warnings.warn(
             f"{n} devices not divisible by model_parallel={model_parallel}; "
-            "falling back to model_parallel=1 (pure data parallelism)."
+            "falling back to model_parallel=1 (pure data parallelism). "
+            "Pass strict=True to make this an error."
         )
         model_parallel = 1
     arr = np.array(devices).reshape(n // model_parallel, model_parallel)

@@ -14,15 +14,21 @@ import pytest
 
 from dgpmp2_tpu.core import gn, graph, stream
 
-# Small streaming chunk for the test matrix: the kernel graph size (and
-# XLA CPU compile time) scales with T; CHUNK=4 over short horizons covers
-# MORE cross-chunk recurrence boundaries than production CHUNK=16 over
-# T=12 (which fits one chunk) at a fraction of the compile cost.
-# test_plan_stream_production_chunk pins the chunk=16 configuration.
-stream.CHUNK = 4
 from dgpmp2_tpu.ops import sdf as sdf_ops
 from dgpmp2_tpu.robots import PlanarArm2Link, PointRobot2D, PointRobotXYH
 from dgpmp2_tpu.utils.trajectory import straight_line_traj
+
+
+@pytest.fixture(autouse=True)
+def small_stream_chunk(monkeypatch):
+    """Small streaming chunk for this module's test matrix: the kernel
+    graph size (and XLA CPU compile time) scales with T; CHUNK=4 over
+    short horizons covers MORE cross-chunk recurrence boundaries than
+    production CHUNK=16 over T=12 (which fits one chunk) at a fraction of
+    the compile cost.  A fixture (not an import-time global mutation) so
+    other collected test modules keep the production value;
+    test_plan_stream_production_chunk re-pins chunk=16 explicitly."""
+    monkeypatch.setattr(stream, "CHUNK", 4)
 
 
 def _world(b=2):

@@ -223,6 +223,53 @@ def test_pallas_lookup_matches_gather_interpret():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
 
 
+def test_pallas_v2_lookup_matches_gather_interpret():
+    """The TPU-default transpose-free kernel, exercised in interpret mode
+    (padding paths included: b=3 with s_per_prog=2, p=50 -> p_pad=128)."""
+    from dgpmp2_tpu.ops.pallas.sdf_lookup import bilinear_lookup_pallas_v2
+
+    n = 64
+    lims = (-5.0, 5.0)
+    res = 10.0 / n
+    rng = np.random.default_rng(15)
+    sdf = jnp.asarray(rng.standard_normal((3, n, n)), jnp.float32)
+    pts = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-4.9, 4.9, (3, 40, 2)), rng.uniform(-7, 7, (3, 10, 2))],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    d1, g1 = sdf_ops.bilinear_lookup(sdf, pts, res, lims, lims)
+    d2, g2 = bilinear_lookup_pallas_v2(sdf, pts, res, lims, lims, 2, True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
+
+def test_pallas_v2_vjp_matches():
+    from dgpmp2_tpu.ops.pallas.sdf_lookup import bilinear_lookup_pallas_v2
+
+    n = 32
+    lims = (-5.0, 5.0)
+    res = 10.0 / n
+    rng = np.random.default_rng(16)
+    sdf = jnp.asarray(rng.standard_normal((2, n, n)), jnp.float32)
+    pts = jnp.asarray(rng.uniform(-4, 4, (2, 9, 2)), jnp.float32)
+    cot = (
+        jnp.asarray(rng.standard_normal((2, 9)), jnp.float32),
+        jnp.asarray(rng.standard_normal((2, 9, 2)), jnp.float32),
+    )
+    g_ref = jax.vjp(
+        lambda s, p: sdf_ops.bilinear_lookup(s, p, res, lims, lims), sdf, pts
+    )[1](cot)
+    g_pal = jax.vjp(
+        lambda s, p: bilinear_lookup_pallas_v2(s, p, res, lims, lims, 2, True),
+        sdf, pts,
+    )[1](cot)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_pallas_v3_lookup_matches_gather_interpret():
     """Limb-decomposed kernel: 3 limbs ≈ f32, 2 limbs ~1.5e-5 relative."""
     from dgpmp2_tpu.ops.pallas.sdf_lookup import bilinear_lookup_pallas_v3

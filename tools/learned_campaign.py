@@ -225,10 +225,29 @@ def make_planner(t, lcfg_overrides, max_iters=50):
     )
 
 
+_VAL_PLAN_JIT = {}
+
+
+def _val_plan_jit(planner):
+    """One jitted plan per planner instance: the eager call re-traces the
+    full 50-iteration unrolled scan per val batch per eval epoch
+    (tracing >> planning, see data/generate.py)."""
+    fn = _VAL_PLAN_JIT.get(id(planner))
+    if fn is None:
+        fn = jax.jit(
+            lambda v, p, th0, s, im: planner.plan(
+                v, p, th0, s, im, max_iters=50, track_best=True
+            )[0]
+        )
+        _VAL_PLAN_JIT[id(planner)] = fn
+    return fn
+
+
 def _val_solve_rate(planner, variables, spec, robot, val_batches):
     """Held-out-from-train solve rate for epoch selection (the metric the
     comparison is judged on; mirrors the reference's eval_epoch
     validation, ``train_planner.py:458-468``)."""
+    plan_fn = _val_plan_jit(planner)
     rates = []
     for b in val_batches:
         params_fix = graph.default_params(
@@ -239,9 +258,8 @@ def _val_solve_rate(planner, variables, spec, robot, val_batches):
             jnp.asarray(b["start"][:, :2]), jnp.asarray(b["goal"][:, :2]),
             spec.total_time_sec, spec.total_time_step,
         ).astype(jnp.float32)
-        th, _, _, _ = planner.plan(variables, params_fix, th0,
-                                   jnp.asarray(b["sdf"]), jnp.asarray(b["im"]),
-                                   max_iters=50, track_best=True)
+        th = plan_fn(variables, params_fix, th0,
+                     jnp.asarray(b["sdf"]), jnp.asarray(b["im"]))
         m = evaluate_batch(spec, robot, params_fix, th,
                            jnp.asarray(b["th_opt"]), jnp.asarray(b["sdf"]))
         rates.append(~m["in_coll"].astype(bool))
