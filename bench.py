@@ -99,9 +99,11 @@ def main():
     def timed(iters, th_in):
         cfg = gn.OptimConfig(reg=0.1, max_iters=iters, tol_delta=0.0,
                              engine=engine)
-        # unroll=4 lets XLA software-pipeline adjacent iterations.
+        # Overhead-corrected unroll sweep: 1 -> 0.1352, 2 -> 0.1339,
+        # 4 -> 0.1433, 8 -> 0.1427 ms/iter.  (The old unroll=4 choice was
+        # an artifact of the contaminated 50-iter methodology.)
         run_n = jax.jit(
-            lambda p, th, s: gn.plan(spec, robot, p, th, s, cfg, unroll=4).th
+            lambda p, th, s: gn.plan(spec, robot, p, th, s, cfg, unroll=2).th
         )
         th = run_n(params, th_in, sdf)  # compile + warm-up
         assert np.isfinite(float(jnp.sum(th))), "non-finite trajectories"

@@ -70,7 +70,7 @@ def timed(spec, robot, params, th0, sdf, iters):
     cfg = gn.OptimConfig(reg=0.1, max_iters=iters, tol_delta=0.0,
                          engine="stream")
     run = jax.jit(
-        lambda p, th, s: gn.plan(spec, robot, p, th, s, cfg, unroll=4).th
+        lambda p, th, s: gn.plan(spec, robot, p, th, s, cfg, unroll=2).th
     )
     th = run(params, th0, sdf)
     assert bool(jnp.all(jnp.isfinite(th)))
