@@ -90,6 +90,33 @@ def test_plan_vs_manual_step_loop_parity():
     )
 
 
+def test_classic_planner_step_and_error():
+    """Public single-step API (reference gpmp2_planner.step semantics):
+    a user-owned loop over (dtheta, err_old) converges, and planner.error
+    agrees with the err_old the next step reports."""
+    env, pp, gp, obs, opt, robot_data = _load()
+    pp = dict(pp, total_time_step=12)
+    robot = make_robot(robot_data)
+    planner = GPMP2Planner(
+        gp, obs, pp, {"x_lims": env["x_lims"], "y_lims": env["y_lims"]}, robot
+    )
+    sdf = _world()
+    start = jnp.asarray([-4.0, -4.0, 0.0, 0.0], jnp.float64)
+    goal = jnp.asarray([4.0, 4.0, 0.0, 0.0], jnp.float64)
+    th = straight_line_traj(start[None, :2], goal[None, :2], 10.0, 12)[0]
+    errs = []
+    for _ in range(8):
+        dth, err_old = planner.step(th, start, goal, sdf, {"reg": 0.1})
+        th = th + dth
+        errs.append(err_old)
+    # error() at the final iterate matches what the next step would report.
+    err_now = planner.error(th, start, goal, sdf)
+    _, err_old_next = planner.step(th, start, goal, sdf, {"reg": 0.1})
+    np.testing.assert_allclose(err_now, err_old_next, rtol=1e-12)
+    assert err_now < 0.05 * errs[0]
+    assert np.all(np.isfinite(np.asarray(th)))
+
+
 def test_classic_planner_wall_clock_budget():
     env, pp, gp, obs, opt, robot_data = _load()
     pp = dict(pp, total_time_step=12)
