@@ -308,6 +308,12 @@ class LearnedDiffGPMP2Planner:
             )
 
         def best_score(th):
+            # Known redundancy: this re-evaluates the factor graph (incl.
+            # one SDF lookup) at th_new although the NEXT iteration's step
+            # evaluates the same point; gn.plan avoids it by carrying
+            # residuals forward (res_next).  Restructuring here must thread
+            # the carried residuals through self.step's learned-covariance
+            # re-prediction — deferred until eval cost matters.
             res = graph.eval_residuals(self.spec, self.robot, params_fix,
                                        th, sdf)
             colliding = jnp.any(res.r_obs[..., 1:-1, :] > 0, axis=(-2, -1))

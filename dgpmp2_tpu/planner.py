@@ -250,7 +250,12 @@ class GPMP2Planner:
         """One Gauss-Newton step on a single problem — returns
         ``(dtheta, err_old)`` like the reference's ``GPMP2Planner.step``
         (``gpmp2_planner.py:41-60``): the caller owns the iteration loop
-        (see ``examples/gpmp2_2d_step_example.py``)."""
+        (see ``examples/gpmp2_2d_step_example.py``).
+
+        Note: faithful to the reference's return contract, which evaluates
+        the graph error per call; a loop that needs err at the NEW iterate
+        too should use :meth:`error` sparingly or :meth:`plan`/
+        :meth:`plan_batch`, which reuse one evaluation per iteration."""
         reg = float((optim_params or {}).get("reg", 0.0))
         params = self._diff.make_params(
             jnp.asarray(start, self.dtype)[None],
