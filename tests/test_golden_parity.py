@@ -83,6 +83,32 @@ def planner(golden):
 
 
 @pytest.mark.parametrize("env", ["1", "5", "12"])
+def test_gradient_matches_torch_reference(golden, planner, env):
+    """d(Σ th_K²)/d(th_0) through K unrolled GN steps matches the torch
+    reference's autograd to ≤1e-5 relative — the differentiable-planner
+    property itself, not just the forward values."""
+    import jax
+
+    sdf = jnp.asarray(golden[f"sdf_{env}"])[None]
+    start = jnp.asarray(golden[f"start_{env}"])
+    goal = jnp.asarray(golden[f"goal_{env}"])
+    th0 = jnp.asarray(golden[f"th_{env}"][0])
+    k = int(golden["grad_iters"])
+    grad_ref = golden[f"grad_th0_{env}"]
+
+    def loss(th):
+        for _ in range(k):
+            dth, _, _, _ = planner.step(th, start, goal, sdf)
+            th = th + dth
+        return jnp.sum(th**2)
+
+    g = np.asarray(jax.grad(loss)(th0))
+    scale = np.abs(grad_ref).max()
+    np.testing.assert_allclose(g, grad_ref, atol=1e-5 * scale, rtol=0,
+                               err_msg=f"env {env}: d loss/d th0")
+
+
+@pytest.mark.parametrize("env", ["1", "5", "12"])
 def test_step_matches_torch_reference(golden, planner, env):
     """Open-loop GN iterations track the reference to ≤1e-5 (th, dtheta,
     err, err_ext) — not a self-consistency check: the right-hand side is the

@@ -162,6 +162,23 @@ def main():
         payload[f"err_ext_{name}"] = np.stack(err_exts)
         print(f"env {name}: err {errs[0]} -> {errs[-1]}")
 
+        # Gradient golden: d(Σ th_K²)/d(th_0) through K unrolled GN steps —
+        # the differentiable-planner property the paper is about (the same
+        # autograd path TBPTT training uses; error_batch stays no_grad).
+        k_grad = 3
+        th_g = torch.tensor(payload[f"th_{name}"][0], requires_grad=True)
+        th_cur = th_g
+        for _ in range(k_grad):
+            dtheta, _, _, _, _, _, _ = planner.step(
+                th_cur, startb, goalb, imb, sdfb
+            )
+            th_cur = th_cur + dtheta
+        loss = (th_cur ** 2).sum()
+        loss.backward()
+        payload[f"grad_th0_{name}"] = th_g.grad.numpy().copy()
+        payload["grad_iters"] = np.int64(k_grad)
+        print(f"env {name}: |grad| {np.abs(th_g.grad.numpy()).sum():.6f}")
+
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
     os.makedirs(out, exist_ok=True)
     np.savez_compressed(os.path.join(out, "golden_ref_step.npz"), **payload)
