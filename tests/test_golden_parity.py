@@ -96,16 +96,23 @@ def test_gradient_matches_torch_reference(golden, planner, env):
     k = int(golden["grad_iters"])
     grad_ref = golden[f"grad_th0_{env}"]
 
-    def loss(th):
+    def loss(th, s):
         for _ in range(k):
-            dth, _, _, _ = planner.step(th, start, goal, sdf)
+            dth, _, _, _ = planner.step(th, start, goal, s)
             th = th + dth
         return jnp.sum(th**2)
 
-    g = np.asarray(jax.grad(loss)(th0))
+    g_th, g_sdf = jax.grad(loss, argnums=(0, 1))(th0, sdf)
     scale = np.abs(grad_ref).max()
-    np.testing.assert_allclose(g, grad_ref, atol=1e-5 * scale, rtol=0,
+    np.testing.assert_allclose(np.asarray(g_th), grad_ref,
+                               atol=1e-5 * scale, rtol=0,
                                err_msg=f"env {env}: d loss/d th0")
+    # d loss/d SDF: exercises the bilinear-lookup adjoint (custom VJP).
+    grad_sdf_ref = golden[f"grad_sdf_{env}"]
+    scale_s = np.abs(grad_sdf_ref).max()
+    np.testing.assert_allclose(np.asarray(g_sdf)[0], grad_sdf_ref[0],
+                               atol=1e-5 * scale_s, rtol=0,
+                               err_msg=f"env {env}: d loss/d sdf")
 
 
 @pytest.mark.parametrize("env", ["1", "5", "12"])

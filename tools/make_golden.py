@@ -167,17 +167,22 @@ def main():
         # autograd path TBPTT training uses; error_batch stays no_grad).
         k_grad = 3
         th_g = torch.tensor(payload[f"th_{name}"][0], requires_grad=True)
+        sdf_g = sdfb.clone().requires_grad_(True)
         th_cur = th_g
         for _ in range(k_grad):
             dtheta, _, _, _, _, _, _ = planner.step(
-                th_cur, startb, goalb, imb, sdfb
+                th_cur, startb, goalb, imb, sdf_g
             )
             th_cur = th_cur + dtheta
         loss = (th_cur ** 2).sum()
         loss.backward()
         payload[f"grad_th0_{name}"] = th_g.grad.numpy().copy()
+        # d loss/d SDF exercises the bilinear-lookup adjoint (the custom
+        # VJP path on the JAX side).
+        payload[f"grad_sdf_{name}"] = sdf_g.grad.squeeze(1).numpy().copy()
         payload["grad_iters"] = np.int64(k_grad)
-        print(f"env {name}: |grad| {np.abs(th_g.grad.numpy()).sum():.6f}")
+        print(f"env {name}: |grad_th0| {np.abs(th_g.grad.numpy()).sum():.4f} "
+              f"|grad_sdf| {np.abs(sdf_g.grad.numpy()).sum():.4f}")
 
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
     os.makedirs(out, exist_ok=True)
