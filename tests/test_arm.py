@@ -171,3 +171,46 @@ def test_nlink_make_robot_yaml():
     assert isinstance(r, PlanarArmNLink)
     assert r.dofs == 4 and r.state_dim == 8 and r.nlinks == 8
     assert r.sphere_radii == (0.2,) * 8
+
+
+def test_learned_planner_composes_with_arm():
+    """LearnedDiffGPMP2Planner is robot-generic: the covariance head's
+    out_dim follows spec.nlinks (6 body spheres here) and the eps-bounded
+    learned plan runs end-to-end on the articulated arm."""
+    from dgpmp2_tpu.learn.learned_planner import (
+        LearnedDiffGPMP2Planner, LearnedPlannerConfig,
+    )
+
+    robot = PlanarArm2Link()
+    spec = graph.GraphSpec(total_time_step=10, dof=2, state_dim=4,
+                           nlinks=robot.nlinks)
+    planner = LearnedDiffGPMP2Planner(
+        spec, robot, gn.OptimConfig(reg=0.1, max_iters=4),
+        LearnedPlannerConfig(dynamics_mode="diag_identity", learn_eps=True,
+                             eps_max=0.8, static_init=(1.0, 0.1, 0.3)),
+    )
+    b = 2
+    img = np.ones((b, 64, 64), np.float32)
+    img[:, 10:20, 40:55] = 0.0
+    # f32 pipeline end-to-end (under the suite's x64 mode the EDT would
+    # otherwise emit f64 and poison the scan carry).
+    sdf = sdf_ops.sdf_from_occupancy(jnp.asarray(img), res=10 / 64).astype(
+        jnp.float32
+    )
+    start = jnp.zeros((b, 4), jnp.float32).at[:, 0].set(0.3)
+    goal = jnp.zeros((b, 4), jnp.float32).at[:, 0].set(2.2).at[:, 1].set(0.8)
+    params = graph.default_params(
+        spec, robot, start, goal, qc_inv=np.eye(2), cost_sigma=0.1,
+        epsilon_dist=0.3, k_s=0.01, k_g=0.01, dtype=jnp.float32,
+    )
+    th0 = straight_line_traj(start[:, :2], goal[:, :2], spec.total_time_sec,
+                             spec.total_time_step).astype(jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = planner.init_variables(
+        rng, planner.stack_inputs(img, sdf), th0
+    )
+    th, errs, _, _ = planner.plan(variables, params, th0, sdf,
+                                  jnp.asarray(img), track_best=True)
+    assert th.shape == th0.shape
+    assert bool(jnp.all(jnp.isfinite(th)))
+    assert float(errs[-1].mean()) < 0.5 * float(errs[0].mean())
