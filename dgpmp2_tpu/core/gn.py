@@ -146,6 +146,10 @@ def plan(
         raise ValueError(
             f"unknown engine {cfg.engine!r}; expected 'auto' or 'stream'"
         )
+    if cfg.method not in ("gauss_newton", "lm"):
+        raise ValueError(
+            f"unknown method {cfg.method!r}; expected 'gauss_newton' or 'lm'"
+        )
     if params_fix is None:
         params_fix = params
     b = th_init.shape[0]
@@ -196,6 +200,11 @@ def plan(
         """GP-MSE if non-colliding on the interior, else +inf
         (``test_planner.py:253-262``)."""
         colliding = jnp.any(res.r_obs[..., 1:-1, :] > 0, axis=(-2, -1))
+        if res.r_obsi is not None:
+            # GP-interpolated collision checks exist precisely to catch
+            # penetration between support states — a "best" iterate must
+            # clear them too.
+            colliding = colliding | jnp.any(res.r_obsi > 0, axis=(-3, -2, -1))
         gp_mse = jnp.mean(jnp.sum(res.r_gp**2, -1), axis=-1)
         return jnp.where(colliding, jnp.inf, gp_mse)
 
@@ -225,7 +234,14 @@ def plan(
         err_next = jnp.where(take, err_prop, err_old)
         if lm:
             lam = jnp.where(conv, lam, jnp.where(accept, lam / 10.0, lam * 10.0))
-        conv_next = conv | _converged(dth, err_next - err_old, cfg)
+        conv_trigger = _converged(dth, err_next - err_old, cfg)
+        if lm:
+            # A rejected proposal is not evidence of convergence: err_next ==
+            # err_old makes |Δerr| = 0 pass tol_err, and dth is the rejected
+            # step — LM's contract is to raise lambda and retry instead
+            # (``gpmp2_planner.py:92-103``).
+            conv_trigger = conv_trigger & accept
+        conv_next = conv | conv_trigger
         iters = iters + (~conv).astype(jnp.int32)
         err_ext = ext_err(res_next)  # residual reuse: no extra SDF lookup
         if track_best:

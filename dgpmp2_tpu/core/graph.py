@@ -553,9 +553,18 @@ def default_params(
             jnp.eye(spec.dof, dtype=dtype) / jnp.asarray(k_v, dtype) ** 2,
             (b, tn, spec.dof, spec.dof),
         )
-        v_lim = jnp.broadcast_to(
-            jnp.asarray([v_x, v_y], dtype), (b, tn, spec.dof)
-        )
+        # Reference YAMLs name the per-axis limits v_x/v_y (dof=2); for a
+        # higher-dof robot pass a length-dof sequence as v_x (v_y ignored).
+        import numpy as np
+
+        lims = (np.asarray(v_x, np.float64).reshape(-1)
+                if np.ndim(v_x) else np.asarray([v_x, v_y], np.float64))
+        if lims.size != spec.dof:
+            raise ValueError(
+                f"velocity limits have {lims.size} entries for dof="
+                f"{spec.dof}; pass a length-dof sequence as v_x"
+            )
+        v_lim = jnp.broadcast_to(jnp.asarray(lims, dtype), (b, tn, spec.dof))
     return GraphParams(
         start=start.astype(dtype),
         goal=goal.astype(dtype),

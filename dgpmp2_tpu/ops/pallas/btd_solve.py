@@ -111,7 +111,7 @@ def _matvec(a, v, d):
 def _make_kernel(t_len: int, d: int):
     dd = d * d
 
-    def kernel(diag_ref, off_ref, rhs_ref, x_ref, chol_ref, gain_ref, y_ref):
+    def kernel(diag_ref, off_ref, rhs_ref, x_ref, chol_ref, y_ref):
         # ---- t = 0 ------------------------------------------------------
         l0 = _chol_lists(_mat_rows(diag_ref[0], d), d)
         chol_ref[0] = _cat2(l0)
@@ -129,13 +129,11 @@ def _make_kernel(t_len: int, d: int):
             c_i = [[d_i[i][j] - gu[i][j] for j in range(d)] for i in range(d)]
             l_i = _chol_lists(c_i, d)
             l_i_flat = _cat2(l_i)
-            g_flat = _cat2(g)
             y_prev = _vec_rows(y_prev_flat, d)
             r_i = _vec_rows(rhs_ref[t], d)
             gy = _matvec(g, y_prev, d)
             y_i = _cat1([r_i[i] - gy[i] for i in range(d)])
             chol_ref[t] = l_i_flat
-            gain_ref[t - 1] = g_flat
             y_ref[t] = y_i
             return (l_i_flat, y_i)
 
@@ -190,7 +188,6 @@ def _pallas_solve_tiled(diag_t, off_t, rhs_t, b_tile: int):
         out_shape=jax.ShapeDtypeStruct((t_len, d, b), diag_t.dtype),
         scratch_shapes=[
             pltpu.VMEM((t_len, dd, b_tile), diag_t.dtype),
-            pltpu.VMEM((t_len - 1, dd, b_tile), diag_t.dtype),
             pltpu.VMEM((t_len, d, b_tile), diag_t.dtype),
         ],
     )(diag_t, off_t, rhs_t)
@@ -227,7 +224,6 @@ def _solve_impl(diag, off, rhs, b_tile, interpret=False):
             out_shape=jax.ShapeDtypeStruct((t_len, d, b + pad), diag.dtype),
             scratch_shapes=[
                 pltpu.VMEM((t_len, d * d, b_tile), diag.dtype),
-                pltpu.VMEM((t_len - 1, d * d, b_tile), diag.dtype),
                 pltpu.VMEM((t_len, d, b_tile), diag.dtype),
             ],
             interpret=True,

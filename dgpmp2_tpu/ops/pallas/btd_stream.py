@@ -240,6 +240,13 @@ def _solve_pre_impl(diag_p, offp_p, offf_p, rhs_p, interpret=False, chunk=16):
     """
     tp, dd, sb, _ = diag_p.shape
     d = int(round(dd**0.5))
+    if sb % _SUB or tp % chunk:
+        # The grid math below would silently truncate (unwritten output
+        # blocks, mis-seeded backward sweep) — the caller must pad.
+        raise ValueError(
+            f"stream solve needs sb % {_SUB} == 0 and TP % chunk == 0; got "
+            f"sb={sb}, TP={tp}, chunk={chunk}"
+        )
     nb = sb // _SUB
     n_chunks = tp // chunk
     shape_m = (chunk, dd, _SUB, _LANE)

@@ -484,15 +484,31 @@ _LOOKUP_FNS = {
 
 
 def set_lookup_method(method: str) -> None:
-    """Override the bilinear lookup engine: 'auto' | 'gather' | 'mxu' | 'rows'."""
+    """Override the bilinear lookup engine: 'auto' | 'gather' | 'mxu' |
+    'rows' | 'pallas' | 'pallas_v2' | 'pallas_v3' | 'pallas_v3_2'.
+
+    Like :func:`set_oob_mode`, the method is captured at trace time, so
+    switching invalidates jit caches — otherwise an already-compiled
+    executable would silently keep the old engine."""
     global _LOOKUP_METHOD
     if method != "auto" and method not in _LOOKUP_FNS:
         raise ValueError(method)
-    _LOOKUP_METHOD = method
+    if method != _LOOKUP_METHOD:
+        _LOOKUP_METHOD = method
+        jax.clear_caches()
 
 
 def lookup(sdf, points, res, x_lims, y_lims):
     """Backend-dispatched bilinear lookup (see :func:`set_lookup_method`)."""
+    # The y→row transform (py = -y_lims[0]/res − y/res, replicating the
+    # reference's ``sdf_utils.bilinear_interpolate``) is only correct for
+    # symmetric y limits; an asymmetric world would silently read wrong
+    # rows, so refuse it loudly (every shipped config is symmetric).
+    if abs(y_lims[0] + y_lims[1]) > 1e-9:
+        raise NotImplementedError(
+            f"asymmetric y_lims {tuple(y_lims)} are not supported by the "
+            "reference y->row transform; recenter the world"
+        )
     method = _LOOKUP_METHOD
     if method == "auto":
         # Measured on a v5e (B=1024, P=101, 128x128 SDFs, loop-in-jit):

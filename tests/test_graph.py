@@ -249,3 +249,25 @@ def test_linear_error_matches_dense_b():
         A, b, K = dense.assemble_dense(spec, robot, p_i, th[i], sdfb[i])
         np.testing.assert_allclose(np.asarray(b_blk[i]), np.asarray(b),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_vel_limits_generalize_beyond_dof2():
+    """default_params accepts a length-dof sequence for velocity limits
+    (reference YAMLs only name v_x/v_y) and rejects mismatched lengths."""
+    spec = graph.GraphSpec(total_time_step=4, dof=3, state_dim=6,
+                           use_vel_limits=True)
+    start = jnp.zeros((1, 6))
+    goal = jnp.ones((1, 6))
+    p = graph.default_params(
+        spec, PointRobot2D(), start, goal, qc_inv=np.eye(3), cost_sigma=0.1,
+        epsilon_dist=0.3, k_s=0.01, k_g=0.01, k_v=0.1,
+        v_x=[1.0, 2.0, 3.0],
+    )
+    assert p.v_lim.shape == (1, spec.num_traj_states, 3)
+    np.testing.assert_allclose(np.asarray(p.v_lim[0, 0]), [1.0, 2.0, 3.0])
+    with pytest.raises(ValueError, match="length-dof"):
+        graph.default_params(
+            spec, PointRobot2D(), start, goal, qc_inv=np.eye(3),
+            cost_sigma=0.1, epsilon_dist=0.3, k_s=0.01, k_g=0.01, k_v=0.1,
+            v_x=1.0, v_y=1.0,
+        )
