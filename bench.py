@@ -79,8 +79,9 @@ def main():
     # completion.
     # The stream-layout engine (core/stream.py) is the fastest verified
     # path at this batch size: 1.67 vs 1.91 ms/iter for the standard
-    # engine, parity-tested in tests/test_gn_stream.py.  DGPMP2_ENGINE=auto
-    # benchmarks the standard path.
+    # engine, parity-tested in tests/test_gn_stream.py.  It is also what
+    # engine="auto" resolves to on TPU f32 (gn.resolve_engine);
+    # DGPMP2_ENGINE=standard benchmarks the standard path.
     engine = os.environ.get("DGPMP2_ENGINE", "stream")
     # Lookup-engine A/B (DGPMP2_LOOKUP=pallas_v3 etc.); default auto.
     lookup = os.environ.get("DGPMP2_LOOKUP")

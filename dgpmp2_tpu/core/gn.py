@@ -49,10 +49,36 @@ class OptimConfig:
     # divide lambda by 10, rejected steps multiply by 10.
     lm_lambda_init: float = 1e-4
     # Linear-system engine inside :func:`plan`:
-    #   "auto"   — standard-layout assembly + tridiag.btd_solve_auto.
-    #   "stream" — stream-layout assembly + streaming Pallas solve
-    #              (core/stream.py); fastest on TPU at large batch.
+    #   "auto"     — stream on TPU f32 (the fastest measured configuration,
+    #                ~9x the standard path at B=1024: PERFORMANCE.md),
+    #                standard elsewhere.
+    #   "standard" — standard-layout assembly + tridiag.btd_solve_auto.
+    #   "stream"   — force stream-layout assembly + streaming Pallas solve
+    #                (core/stream.py) even off-TPU (interpret mode; slow,
+    #                test-only).
     engine: str = "auto"
+
+
+_ENGINES = ("auto", "standard", "stream")
+
+
+def resolve_engine(engine: str, dtype) -> str:
+    """Map ``engine='auto'`` to a concrete engine for the current backend.
+
+    The stream engine assembles the normal equations natively in the
+    Pallas kernel's vreg layout and is ~9x faster than the standard path
+    on a v5e at B=1024 (PERFORMANCE.md); off-TPU it would run the kernel
+    in interpret mode, so ``auto`` keeps the standard path there.  The
+    kernel is f32-only, hence the dtype gate (f64 CPU verification runs
+    stay on the standard path).
+    """
+    if engine not in _ENGINES:
+        raise ValueError(f"unknown engine {engine!r}; expected one of {_ENGINES}")
+    if engine != "auto":
+        return engine
+    if jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32:
+        return "stream"
+    return "standard"
 
 
 class PlanResult(NamedTuple):
@@ -142,10 +168,6 @@ def plan(
     ``params_fix`` supplies the fixed external covariances for the
     ``err_ext`` trace; defaults to ``params``.
     """
-    if cfg.engine not in ("auto", "stream"):
-        raise ValueError(
-            f"unknown engine {cfg.engine!r}; expected 'auto' or 'stream'"
-        )
     if cfg.method not in ("gauss_newton", "lm"):
         raise ValueError(
             f"unknown method {cfg.method!r}; expected 'gauss_newton' or 'lm'"
@@ -186,7 +208,7 @@ def plan(
     res0 = residuals(th_init)
     err0 = weighted_err(res0)
     static = graph_lib.assemble_static(spec, params, dtype)
-    use_stream = cfg.engine == "stream"
+    use_stream = resolve_engine(cfg.engine, dtype) == "stream"
     if use_stream:
         from dgpmp2_tpu.core import stream as stream_lib
 

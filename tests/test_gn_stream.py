@@ -137,3 +137,33 @@ def test_plan_stream_production_chunk(monkeypatch):
                     dataclasses.replace(cfg, engine="stream"))
     np.testing.assert_allclose(np.asarray(r_str.th), np.asarray(r_ref.th),
                                atol=1e-11)
+
+
+def test_resolve_engine_mapping(monkeypatch):
+    """engine='auto' picks stream exactly on TPU f32 (gn.resolve_engine);
+    explicit engines pass through; unknown names are rejected."""
+    assert gn.resolve_engine("standard", jnp.float32) == "standard"
+    assert gn.resolve_engine("stream", jnp.float64) == "stream"
+    # This suite runs on CPU: auto stays on the standard path.
+    assert gn.resolve_engine("auto", jnp.float32) == "standard"
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert gn.resolve_engine("auto", jnp.float32) == "stream"
+    assert gn.resolve_engine("auto", jnp.float64) == "standard"
+    with pytest.raises(ValueError):
+        gn.resolve_engine("bogus", jnp.float32)
+
+
+def test_plan_engine_standard_explicit():
+    """engine='standard' is a valid explicit opt-out and matches 'auto'
+    (identical on CPU, where auto resolves to standard)."""
+    spec, robot = graph.GraphSpec(total_time_step=7), PointRobot2D()
+    params, th0 = _prob(spec, robot)
+    sdf = _world()
+    cfg = gn.OptimConfig(reg=0.1, max_iters=3, tol_delta=0.0)
+    r_auto = gn.plan(spec, robot, params, th0, sdf, cfg)
+    r_std = gn.plan(spec, robot, params, th0, sdf,
+                    dataclasses.replace(cfg, engine="standard"))
+    np.testing.assert_array_equal(np.asarray(r_std.th), np.asarray(r_auto.th))
+    with pytest.raises(ValueError):
+        gn.plan(spec, robot, params, th0, sdf,
+                dataclasses.replace(cfg, engine="bogus"))
