@@ -166,6 +166,16 @@ def load_test_batches(roots, batch_size):
     return list(ds.as_batches(dataset, idxs, batch_size, drop_remainder=True))
 
 
+def load_family_batches(root, batch_size):
+    """All test problems of ONE family root as batches (for the per-family
+    breakdown of a multi-family generalist run)."""
+    dataset = ds.PlanningDataset(root, mode="test",
+                                 label_subdir="opt_trajs_gpmp2")
+    n = len(dataset) - len(dataset) % batch_size
+    return list(ds.as_batches(dataset, np.arange(n), batch_size,
+                              drop_remainder=True))
+
+
 def static_sweep(spec, robot, test_batches, out_file):
     """Best-static opponent: per-sigma metrics on the test split."""
     if os.path.exists(out_file):
@@ -403,6 +413,26 @@ def main(argv=None):
                                             static[s]["contact_free_rate"]))
     print(f"[static] best sigma={best_sigma}: {static[best_sigma]}")
 
+    # Per-family breakdown for multi-family (generalist) runs: each family
+    # is judged against ITS OWN best static sigma — the strongest per-family
+    # opponent, stricter than the pooled best.
+    by_family = {}
+    fam_batches = {}
+    if len(roots) > 1:
+        # One batch per family when it fits: covers every test problem
+        # (batch-sized chunking would drop the remainder).
+        fam_bs = min(512, args.num_test * args.probs)
+        for fam, root in zip(args.families, roots):
+            fam_batches[fam] = load_family_batches(root, fam_bs)
+            fam_static = static_sweep(
+                spec, robot, fam_batches[fam],
+                os.path.join(args.out, f"static_sensitivity_{fam}.yaml"))
+            fb = max(fam_static, key=lambda s: (fam_static[s]["solve_rate"],
+                                                fam_static[s]["contact_free_rate"]))
+            by_family[fam] = {"static_best": {"sigma": fb, **fam_static[fb]}}
+            print(f"[static:{fam}] best sigma={fb}: "
+                  f"solve_rate={fam_static[fb]['solve_rate']:.3f}")
+
     # Merge with earlier runs so incremental --configs invocations extend
     # the same results table instead of overwriting it.
     results_file = os.path.join(args.out, "results.yaml")
@@ -411,6 +441,13 @@ def main(argv=None):
         with open(results_file) as fp:
             results = yaml.safe_load(fp) or {}
     results["static_best"] = {"sigma": best_sigma, **static[best_sigma]}
+    by_family_file = os.path.join(args.out, "results_by_family.yaml")
+    if os.path.exists(by_family_file):
+        with open(by_family_file) as fp:
+            prev = yaml.safe_load(fp) or {}
+        for fam, rows in prev.items():
+            by_family.setdefault(fam, {}).update(
+                {k: v for k, v in rows.items() if k not in by_family[fam]})
     for name in args.configs:
         w_over, lcfg_over = CONFIGS[name]
         planner, state = train_config(name, w_over, lcfg_over, roots, args,
@@ -420,6 +457,15 @@ def main(argv=None):
         print(f"[eval:{name}] {json.dumps(summary)}")
         with open(os.path.join(args.out, "results.yaml"), "w") as fp:
             yaml.safe_dump(results, fp)
+        for fam, batches in fam_batches.items():
+            fam_summary = eval_learned(planner, state, spec, robot, batches)
+            by_family[fam][name] = fam_summary
+            print(f"[eval:{name}:{fam}] solve_rate="
+                  f"{fam_summary['solve_rate']:.3f} contact_free="
+                  f"{fam_summary['contact_free_rate']:.3f}")
+        if by_family:
+            with open(by_family_file, "w") as fp:
+                yaml.safe_dump(by_family, fp)
 
     # Markdown table for PERFORMANCE.md.
     keys = ["solve_rate", "contact_free_rate", "avg_gp_error",
@@ -436,6 +482,27 @@ def main(argv=None):
     with open(os.path.join(args.out, "table.md"), "w") as fp:
         fp.write(table + "\n")
     print(table)
+
+    if by_family:
+        fams = list(by_family)
+        cfg_rows = sorted({c for rows in by_family.values() for c in rows})
+        cfg_rows = (["static_best"]
+                    + [c for c in cfg_rows if c != "static_best"])
+        blocks = []
+        for metric in ("solve_rate", "contact_free_rate"):
+            lines = [f"**{metric}** (one generalist model; static_best = "
+                     "each family's own best sigma)", "",
+                     "| config | " + " | ".join(fams) + " |",
+                     "|---|" + "---|" * len(fams)]
+            for c in cfg_rows:
+                cells = [f"{by_family[f][c][metric]:.4f}"
+                         if c in by_family[f] else "—" for f in fams]
+                lines.append(f"| {c} | " + " | ".join(cells) + " |")
+            blocks.append("\n".join(lines))
+        fam_table = "\n\n".join(blocks)
+        with open(os.path.join(args.out, "per_family.md"), "w") as fp:
+            fp.write(fam_table + "\n")
+        print(fam_table)
 
 
 if __name__ == "__main__":
