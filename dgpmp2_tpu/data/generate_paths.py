@@ -105,6 +105,16 @@ def add_expert_paths(
                                     np.asarray(th0[j]))
                 written += 1
                 break
+        else:
+            # The on-disk format requires probs_per_env files for EVERY env
+            # (PlanningDataset.__len__ = num_envs * probs_per_env); failing
+            # loudly here beats a FileNotFoundError at training time.
+            raise RuntimeError(
+                f"env {env_idx}: no collision-free expert path after "
+                f"{max_retries} retries — cannot write a uniform "
+                f"probs_per_env={probs_per_env} dataset. Regenerate the env "
+                "or raise max_retries."
+            )
     meta["probs_per_env"] = probs_per_env
     with open(os.path.join(subdir, "meta.yaml"), "w") as fp:
         yaml.safe_dump(meta, fp)

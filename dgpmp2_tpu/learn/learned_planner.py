@@ -44,6 +44,12 @@ class LearnedPlannerConfig:
     # ``safety_dist = epsilon_dist + robot_radius``, learn_module_fcn.py:22).
     costmap_predict: bool = False
     costmap_eps: float = 0.4  # epsilon_dist used for the costmap channel
+    # Per-image [-1, 1] min-max normalization of the conv input — the
+    # reference's conv preprocessing (``learn_module_conv.py:91-96``).
+    # Off by default: the rebuild's campaigns were trained on raw
+    # (binary im, metric sdf) channels and flipping this invalidates
+    # their saved weights.
+    normalize_im: bool = False
     fixed_conv: bool = False  # conv features computed once per problem
     dtheta_predict: bool = False  # feed previous GN update to the head
     # (``dtheta_predict``, diff_gpmp2_planner.py:57,198)
@@ -103,18 +109,33 @@ class LearnedDiffGPMP2Planner:
         The decode squares outputs (``covariances.decode``), so emitting
         sqrt(Q_c⁻¹ scalar) for the GP terms and 1/σ for the obstacle terms
         makes the zero-features forward pass equal the fixed-covariance
-        planner.
+        planner.  Only the elementwise-squared modes can represent the
+        static diagonal exactly: ``qc_full``/``q_full`` decode via rank-1
+        outer products ``s sᵀ``, for which a constant bias yields the
+        singular all-ones matrix ``qc_inv·𝟙`` — NOT ``qc_inv·I`` — so
+        static_init is rejected there.  (For ``nlinks > 1`` the obstacle
+        block has the same rank-1 limitation; the bias then yields
+        ``(1/σ²)·𝟙`` over links, an approximate init, documented rather
+        than rejected because per-link coupling at init is benign for the
+        hinge costs.)
         """
         import math
 
         spec, cfg = self.spec, self.learn_cfg
         t, tn, l = spec.num_gp_factors, spec.num_traj_states, spec.nlinks
         mode = cfg.dynamics_mode
+        if mode in ("qc_full", "q_full"):
+            raise ValueError(
+                f"static_init is not representable under dynamics_mode "
+                f"{mode!r}: the rank-1 outer-product decode cannot emit the "
+                "static diagonal covariance (a constant bias decodes to the "
+                "singular qc_inv*ones matrix). Use diag/diag_identity for "
+                "static_init, or initialize without it."
+            )
         gp_val = math.sqrt(float(qc_inv_scalar))
         obs_val = 1.0 / float(cost_sigma)
         gp_terms = {"fix_dynamics": 0, "diag_identity": t,
-                    "diag": t * spec.dof, "qc_full": t * spec.dof,
-                    "q_full": t * spec.state_dim}[mode]
+                    "diag": t * spec.dof}[mode]
         bias = [gp_val] * gp_terms + [obs_val] * (tn * l)
         if cfg.learn_eps:
             if cfg.eps_max is not None:
@@ -171,14 +192,22 @@ class LearnedDiffGPMP2Planner:
         """Build the (B, H, W, C) conv input per ``sdf_predict`` /
         ``costmap_predict`` (``diff_gpmp2_planner.py:183-186``,
         ``learn_module_fcn.py:25,79-84``)."""
-        if self.learn_cfg.costmap_predict:
+        cfg = self.learn_cfg
+        if cfg.costmap_predict:
             from dgpmp2_tpu.ops.sdf import costmap_2d
-            safety = self.learn_cfg.costmap_eps + float(
-                max(self.robot.sphere_radii))
+            safety = cfg.costmap_eps + float(max(self.robot.sphere_radii))
             sdf = costmap_2d(sdf, safety)
-        if self.learn_cfg.sdf_predict:
-            return jnp.stack([im, sdf], axis=-1).astype(self.learn_cfg.dtype)
-        return im[..., None].astype(self.learn_cfg.dtype)
+        if cfg.sdf_predict or cfg.costmap_predict:
+            # costmap_predict implies the map channel is fed even when
+            # sdf_predict is off — it selects WHICH map the model sees, it
+            # must not be silently discarded.
+            out = jnp.stack([im, sdf], axis=-1).astype(cfg.dtype)
+        else:
+            out = im[..., None].astype(cfg.dtype)
+        if cfg.normalize_im:
+            from dgpmp2_tpu.models.conv_encoder import normalize_im
+            out = normalize_im(out)
+        return out
 
     def conv_features(self, variables, im_stack, train=False, mutable=False):
         return self.conv.apply(
@@ -270,9 +299,13 @@ class LearnedDiffGPMP2Planner:
         err = jax.lax.stop_gradient(
             graph.graph_error(self.spec, self.robot, params, th, sdf)
         )
+        # External error under the FULLY fixed params — including eps: a
+        # learned eps shrinks the hinge residuals themselves, so evaluating
+        # with ``params`` + covariance overrides would still let the model
+        # deflate err_ext (the quantity exists precisely so learned weights
+        # cannot game it; module docstring).
         err_ext = graph.graph_error(
-            self.spec, self.robot, params, th, sdf,
-            q_inv=params_fix.q_inv, obs_inv=params_fix.obs_inv,
+            self.spec, self.robot, params_fix, th, sdf,
         )
         return dth, err, err_ext, params, new_hidden
 
@@ -317,6 +350,13 @@ class LearnedDiffGPMP2Planner:
             res = graph.eval_residuals(self.spec, self.robot, params_fix,
                                        th, sdf)
             colliding = jnp.any(res.r_obs[..., 1:-1, :] > 0, axis=(-2, -1))
+            if res.r_obsi is not None:
+                # Same rule as gn.plan's best_score: GP-interpolated checks
+                # exist to catch penetration between support states — a
+                # "best" iterate must clear them too (symmetric with the
+                # static opponent's selection).
+                colliding = colliding | jnp.any(res.r_obsi > 0,
+                                                axis=(-3, -2, -1))
             gp_mse = jnp.mean(jnp.sum(res.r_gp**2, -1), axis=-1)
             return jnp.where(colliding, jnp.inf, gp_mse)
 

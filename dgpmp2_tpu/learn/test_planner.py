@@ -79,7 +79,11 @@ def main(argv=None):
     if args.model_folder:
         sample = next(ds.as_batches(dataset, idxs, args.batch_size))
         sample = {k: jnp.asarray(v) for k, v in sample.items()}
-        tx = make_optimizer("adam", {"alpha": 1e-4})
+        # The restore template must match the TRAINING optimizer's state
+        # pytree (orbax restores by structure): build it from the run's
+        # learn YAML exactly as train_planner does, not a hard-coded adam.
+        opt = learn_params["optim"]
+        tx = make_optimizer(opt.get("optimizer", "adam"), opt)
         im_stack = planner.stack_inputs(sample["im"], sample["sdf"])
         tmpl = init_train_state(planner, tx, jax.random.PRNGKey(0),
                                 im_stack, sample["th_opt"])

@@ -144,24 +144,28 @@ def make_train_step(
             )
 
         def window(carry, rng_w):
-            th, hid = carry
+            th, hid, dth_prev = carry
             th = jax.lax.stop_gradient(th)  # TBPTT truncation boundary
             hid = jax.tree.map(jax.lax.stop_gradient, hid)
+            # Previous GN update is a head input under dtheta_predict —
+            # thread it exactly as plan() does at eval, truncated at the
+            # window boundary like the rest of the carry.
+            dth_prev = jax.lax.stop_gradient(dth_prev)
             loss_acc = 0.0
             rngs = jax.random.split(rng_w, train_cfg.tk)
             for i in range(train_cfg.tk):
                 dth, _, _, params_used, hid = planner.step(
                     variables, params_fix, th, sdf, feats, hid,
-                    train=True, rng=rngs[i],
+                    train=True, rng=rngs[i], dth_prev=dth_prev,
                 )
                 th_new = th + dth
                 if train_cfg.use_inter_loss or i == train_cfg.tk - 1:
                     terms = _step_loss(spec, planner.robot, params_fix, sdf,
                                        dth, th, th_new, th_opt, weights)
                     loss_acc = loss_acc + terms.total
-                th = th_new
+                th, dth_prev = th_new, dth
             denom = train_cfg.tk if train_cfg.use_inter_loss else 1
-            return (th, hid), loss_acc / denom
+            return (th, hid, dth_prev), loss_acc / denom
 
         def loss_at(dth, th, th_new):
             return _step_loss(spec, planner.robot, params_fix, sdf,
@@ -175,18 +179,19 @@ def make_train_step(
             rngs_all = jax.random.split(rng, train_cfg.T)
 
             def roll(carry, rng_t):
-                th, hid = carry
+                th, hid, dth_prev = carry
                 dth, _, _, _, hid_new = planner.step(
                     variables, params_fix, th, sdf, feats, hid,
-                    train=True, rng=rng_t,
+                    train=True, rng=rng_t, dth_prev=dth_prev,
                 )
-                return (th + dth, hid_new), (th, hid)
+                return (th + dth, hid_new, dth), (th, hid, dth_prev)
 
-            (th_fin, _), (ths, hids) = jax.lax.scan(
-                roll, (th0, hidden0), rngs_all
+            (th_fin, _, _), (ths, hids, dths_prev) = jax.lax.scan(
+                roll, (th0, hidden0, jnp.zeros_like(th0)), rngs_all
             )
             ths = jax.lax.stop_gradient(ths)
             hids = jax.tree.map(jax.lax.stop_gradient, hids)
+            dths_prev = jax.lax.stop_gradient(dths_prev)
 
             def window_k(_, k):
                 t_end = (k + 1) * tk  # exclusive: loss step is t_end - 1
@@ -194,6 +199,7 @@ def make_train_step(
                 start = jnp.maximum(s, 0)
                 th = ths[start]
                 hid = jax.tree.map(lambda x: x[start], hids)
+                dth_prev = dths_prev[start]
                 loss_acc = 0.0
                 for j in range(tk2):
                     g = s + j
@@ -201,12 +207,13 @@ def make_train_step(
                     gc = jnp.clip(g, 0, train_cfg.T - 1)
                     dth, _, _, _, hid_new = planner.step(
                         variables, params_fix, th, sdf, feats, hid,
-                        train=True, rng=rngs_all[gc],
+                        train=True, rng=rngs_all[gc], dth_prev=dth_prev,
                     )
                     th_new = jnp.where(active, th + dth, th)
                     hid = jax.tree.map(
                         lambda n, o: jnp.where(active, n, o), hid_new, hid
                     )
+                    dth_prev = jnp.where(active, dth, dth_prev)
                     # Loss steps (the trailing tk of the window) always have
                     # g >= 0, so no masking is needed on the loss itself.
                     if (train_cfg.use_inter_loss and j >= tk2 - tk) or (
@@ -226,8 +233,9 @@ def make_train_step(
         else:
             if train_cfg.remat:
                 window = jax.checkpoint(window)
-            (th, _), losses = jax.lax.scan(
-                window, (th0, hidden0), jax.random.split(rng, n_chunks)
+            (th, _, _), losses = jax.lax.scan(
+                window, (th0, hidden0, jnp.zeros_like(th0)),
+                jax.random.split(rng, n_chunks),
             )
         total = jnp.mean(losses)
         final_err = jnp.mean(
@@ -240,9 +248,10 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def window_loss_fn(variables, th, hid, batch, params_fix, rng_w):
-        """One tk-window loss from carry ``(th, hid)`` — the unit the
-        ``optimize_tk`` path differentiates per optimizer step."""
+    def window_loss_fn(variables, th, hid, dth_prev, batch, params_fix,
+                       rng_w):
+        """One tk-window loss from carry ``(th, hid, dth_prev)`` — the unit
+        the ``optimize_tk`` path differentiates per optimizer step."""
         sdf, th_opt = batch["sdf"], batch["th_opt"]
         feats = planner.conv_features(
             variables, planner.stack_inputs(batch["im"], sdf), train=True
@@ -251,21 +260,22 @@ def make_train_step(
             feats = jax.lax.stop_gradient(feats)
         th = jax.lax.stop_gradient(th)
         hid = jax.tree.map(jax.lax.stop_gradient, hid)
+        dth_prev = jax.lax.stop_gradient(dth_prev)
         loss_acc = 0.0
         rngs = jax.random.split(rng_w, train_cfg.tk)
         for i in range(train_cfg.tk):
             dth, _, _, _, hid = planner.step(
                 variables, params_fix, th, sdf, feats, hid,
-                train=True, rng=rngs[i],
+                train=True, rng=rngs[i], dth_prev=dth_prev,
             )
             th_new = th + dth
             if train_cfg.use_inter_loss or i == train_cfg.tk - 1:
                 terms = _step_loss(spec, planner.robot, params_fix, sdf,
                                    dth, th, th_new, th_opt, weights)
                 loss_acc = loss_acc + terms.total
-            th = th_new
+            th, dth_prev = th_new, dth
         denom = train_cfg.tk if train_cfg.use_inter_loss else 1
-        return loss_acc / denom, (th, hid)
+        return loss_acc / denom, (th, hid, dth_prev)
 
     window_grad_fn = jax.value_and_grad(window_loss_fn, has_aux=True)
 
@@ -299,9 +309,9 @@ def make_train_step(
         gsum0 = jax.tree.map(jnp.zeros_like, state.variables)
 
         def body(carry, rng_w):
-            variables, opt_state, th, hid, gsum = carry
-            (loss, (th, hid)), g = window_grad_fn(
-                variables, th, hid, batch, params_fix, rng_w
+            variables, opt_state, th, hid, dth_prev, gsum = carry
+            (loss, (th, hid, dth_prev)), g = window_grad_fn(
+                variables, th, hid, dth_prev, batch, params_fix, rng_w
             )
             gsum = jax.tree.map(jnp.add, gsum, g)
             grads = gsum
@@ -311,11 +321,12 @@ def make_train_step(
                 grads = jax.tree.map(lambda x: x * scale, grads)
             updates, opt_state = tx.update(grads, opt_state, variables)
             variables = optax.apply_updates(variables, updates)
-            return (variables, opt_state, th, hid, gsum), loss
+            return (variables, opt_state, th, hid, dth_prev, gsum), loss
 
-        (variables, opt_state, th, _, _), losses = jax.lax.scan(
+        (variables, opt_state, th, _, _, _), losses = jax.lax.scan(
             body,
-            (state.variables, state.opt_state, th0, hidden0, gsum0),
+            (state.variables, state.opt_state, th0, hidden0,
+             jnp.zeros_like(th0), gsum0),
             jax.random.split(rng, n_chunks),
         )
         th_opt = batch["th_opt"]

@@ -143,6 +143,13 @@ def main(argv=None):
     train_step = make_train_step(planner, tx, weights, tcfg)
     batch_size = int(opt.get("batch_size", 16))
 
+    if len(train_idx) < batch_size:
+        raise ValueError(
+            f"train split has {len(train_idx)} problems but batch_size="
+            f"{batch_size}: with drop_remainder batching no batch would ever "
+            "be formed — lower optim.batch_size or use a larger dataset"
+        )
+
     # Init / resume.
     sample = next(ds.as_batches(dataset, train_idx, batch_size))
     sample = _to_batch(sample, cov_scalars)

@@ -143,3 +143,47 @@ def test_sample_start_goal_multi_pair_terminates():
     d = np.linalg.norm(goal - start, axis=-1)
     assert np.all(d >= DIST_FACTOR * np.hypot(10, 10) - 1e-9)
     assert start.shape == (8, 2)
+
+
+def test_dataset_caps_apply_independently(tmp_path):
+    """Each cap (num_envs, num_env_probs) applies on its own — the
+    reference YAMLs often set only one — and over-requesting raises
+    instead of silently using the full dataset."""
+    (tmp_path / "train").mkdir()
+    ds.save_meta(str(tmp_path / "train"), 3, 2, 32)
+
+    d = ds.PlanningDataset(str(tmp_path), mode="train", num_envs=2)
+    assert (d.meta["num_envs"], d.meta["probs_per_env"]) == (2, 2)
+    d = ds.PlanningDataset(str(tmp_path), mode="train", num_env_probs=1)
+    assert (d.meta["num_envs"], d.meta["probs_per_env"]) == (3, 1)
+    d = ds.PlanningDataset(str(tmp_path), mode="train", num_envs=3,
+                           num_env_probs=2)
+    assert len(d) == 6
+    with pytest.raises(ValueError, match="num_envs=5"):
+        ds.PlanningDataset(str(tmp_path), mode="train", num_envs=5)
+    with pytest.raises(ValueError, match="probs_per_env=9"):
+        ds.PlanningDataset(str(tmp_path), mode="train", num_env_probs=9)
+
+
+def test_add_expert_paths_raises_on_unsolvable_env(tmp_path):
+    """A uniform on-disk dataset needs probs_per_env labels for EVERY env;
+    when no collision-free expert path exists the generator must fail
+    loudly, not write a ragged dataset."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from dgpmp2_tpu.core import gn, graph
+    from dgpmp2_tpu.data import generate_im, generate_paths
+    from dgpmp2_tpu.robots import PointRobot2D
+
+    generate_im.generate(str(tmp_path), "multi_obstacle", 32, 1, 0, seed=0)
+    spec = graph.GraphSpec(total_time_step=8)
+    cfg = gn.OptimConfig(reg=0.1, max_iters=5)
+    cov = dict(qc_inv=np.eye(2), cost_sigma=0.1, epsilon_dist=0.3,
+               k_s=0.01, k_g=0.01)
+    # a robot too fat to ever clear the obstacles -> every retry fails
+    with pytest.raises(RuntimeError, match="no collision-free"):
+        generate_paths.add_expert_paths(
+            str(tmp_path / "train"), 1, "diagonal", spec,
+            PointRobot2D(sphere_radii=(100.0,)), cfg, cov,
+            np.random.default_rng(0), max_retries=2,
+        )

@@ -413,3 +413,185 @@ def test_learned_plan_track_best_non_colliding():
 
     s_best, s_final = score(th_best), score(th_final)
     assert np.all(s_best <= s_final + 1e-9)
+
+
+def test_static_init_rejected_for_rank1_modes():
+    """qc_full/q_full decode GP blocks as rank-1 outer products s s^T; a
+    constant bias yields the singular all-ones matrix, not qc_inv*I, so
+    static_init must be rejected rather than silently wrong."""
+    for mode in ("qc_full", "q_full"):
+        planner = LearnedDiffGPMP2Planner(
+            SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=2),
+            LearnedPlannerConfig(dynamics_mode=mode),
+        )
+        with pytest.raises(ValueError, match="static_init"):
+            planner.static_out_bias(1.0, 0.1, 0.4)
+
+
+def _perturbed_state(planner, tx, batch, scale=0.05, seed=42):
+    rng = jax.random.PRNGKey(0)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    state = init_train_state(planner, tx, rng, im_stack, batch["th_opt"])
+    leaves, treedef = jax.tree.flatten(state.variables)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    leaves = [l + scale * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    return state.replace(variables=jax.tree.unflatten(treedef, leaves))
+
+
+def test_err_ext_evaluated_under_fully_fixed_params():
+    """err_ext is the anti-gaming metric: it must be computed with the
+    ENTIRE fixed param set — including epsilon_dist, which reshapes the
+    hinge residuals themselves — not just fixed covariances."""
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=4),
+        LearnedPlannerConfig(dynamics_mode="diag_identity", learn_eps=True,
+                             eps_max=0.8, dropout_prob=0.0),
+    )
+    batch = _toy_batch()
+    tx = make_optimizer("adam", {"alpha": 1e-3})
+    state = _perturbed_state(planner, tx, batch, scale=0.3)
+    params_fix = graph.default_params(
+        SPEC, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    feats = planner.conv_features(state.variables, im_stack)
+    th0 = batch["th_opt"]
+    _, err, err_ext, p_used, _ = planner.step(
+        state.variables, params_fix, th0, batch["sdf"], feats
+    )
+    # the learned eps really differs from the fixed one (else no test)
+    assert float(jnp.max(jnp.abs(p_used.eps - params_fix.eps))) > 1e-4
+    expected = graph.graph_error(SPEC, ROBOT, params_fix, th0, batch["sdf"])
+    np.testing.assert_allclose(np.asarray(err_ext), np.asarray(expected),
+                               rtol=1e-6)
+    # and err (learned params) genuinely differs from err_ext
+    assert float(jnp.max(jnp.abs(err - err_ext))) > 1e-6
+
+
+def test_costmap_predict_without_sdf_predict_keeps_map_channel():
+    """costmap_predict selects WHICH map channel the conv sees; turning
+    sdf_predict off must not silently drop it."""
+    lcfg = LearnedPlannerConfig(dynamics_mode="diag_identity",
+                                sdf_predict=False, costmap_predict=True,
+                                costmap_eps=0.4)
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=2), lcfg)
+    batch = _toy_batch()
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    assert im_stack.shape[-1] == 2
+    safety = 0.4 + float(max(ROBOT.sphere_radii))
+    expected = np.maximum(0.0, safety - np.asarray(batch["sdf"]))
+    np.testing.assert_allclose(np.asarray(im_stack[..., 1]), expected,
+                               rtol=1e-6)
+    # im-only when both flags are off
+    lcfg2 = LearnedPlannerConfig(dynamics_mode="diag_identity",
+                                 sdf_predict=False)
+    planner2 = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=2), lcfg2)
+    assert planner2.stack_inputs(batch["im"], batch["sdf"]).shape[-1] == 1
+
+
+def test_normalize_im_option_scales_conv_input():
+    """normalize_im applies the reference's per-image [-1, 1] min-max
+    scaling (learn_module_conv.py:91-96) to every channel."""
+    lcfg = LearnedPlannerConfig(dynamics_mode="diag_identity",
+                                normalize_im=True)
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=2), lcfg)
+    batch = _toy_batch()
+    im_stack = np.asarray(planner.stack_inputs(batch["im"], batch["sdf"]))
+    assert im_stack.shape[-1] == 2
+    np.testing.assert_allclose(im_stack.max(axis=(1, 2)), 1.0, atol=1e-4)
+    np.testing.assert_allclose(im_stack.min(axis=(1, 2)), -1.0, atol=1e-4)
+
+
+def test_train_step_threads_dth_prev_under_dtheta_predict():
+    """With dtheta_predict the head consumes the previous GN update; the
+    chunked trainer must thread it across steps exactly as a manual unroll
+    with planner.step does (regression: all paths silently fed zeros)."""
+    from dgpmp2_tpu.learn.train import _step_loss
+    from dgpmp2_tpu.utils.trajectory import straight_line_traj as slt
+
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, gn.OptimConfig(reg=0.1, max_iters=2),
+        LearnedPlannerConfig(dynamics_mode="diag_identity", hidden_dim=16,
+                             dtheta_predict=True, dropout_prob=0.0),
+    )
+    batch = _toy_batch()
+    tx = make_optimizer("adam", {"alpha": 1e-3})
+    w = LossWeights(ext_loss_weight=0.01)
+    tcfg = TrainConfig(T=2, tk=1)
+    train_step = make_train_step(planner, tx, w, tcfg)
+    state = _perturbed_state(planner, tx, batch, scale=0.1)
+    _, metrics = train_step(state, batch, jax.random.PRNGKey(7))
+
+    # manual two-step unroll threading dth_prev
+    sdf, th_opt = batch["sdf"], batch["th_opt"]
+    params_fix = graph.default_params(
+        SPEC, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+    th0 = slt(batch["start"][:, :2], batch["goal"][:, :2],
+              SPEC.total_time_sec, SPEC.total_time_step).astype(jnp.float32)
+    im_stack = planner.stack_inputs(batch["im"], sdf)
+    feats = planner.conv_features(state.variables, im_stack, train=True)
+    rng = jax.random.PRNGKey(7)
+
+    def manual(thread_dth):
+        th, dth_prev = th0, jnp.zeros_like(th0)
+        losses = []
+        for rw in jax.random.split(rng, 2):
+            rs = jax.random.split(rw, 1)[0]
+            dth, _, _, _, _ = planner.step(
+                state.variables, params_fix, th, sdf, feats, None,
+                train=True, rng=rs, dth_prev=dth_prev,
+            )
+            th_new = th + dth
+            losses.append(_step_loss(SPEC, ROBOT, params_fix, sdf, dth, th,
+                                     th_new, th_opt, w).total)
+            th = th_new
+            dth_prev = dth if thread_dth else jnp.zeros_like(th0)
+        return float(jnp.mean(jnp.stack(losses)))
+
+    threaded, dropped = manual(True), manual(False)
+    assert abs(threaded - dropped) > 1e-7  # dth_prev genuinely matters
+    assert np.isclose(float(metrics["loss"]), threaded, rtol=1e-5)
+
+
+def test_track_best_respects_gp_interpolated_collisions():
+    """With use_gp_inter on, the track_best score must also treat
+    between-support penetration (r_obsi) as colliding — symmetric with
+    gn.plan's best_score."""
+    spec = graph.GraphSpec(total_time_step=10, use_gp_inter=True)
+    planner = LearnedDiffGPMP2Planner(
+        spec, ROBOT, gn.OptimConfig(reg=0.1, max_iters=5),
+        LearnedPlannerConfig(dynamics_mode="diag_identity", hidden_dim=16),
+    )
+    batch = _toy_batch()
+    rng = jax.random.PRNGKey(1)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    th0 = batch["th_opt"]
+    variables = planner.init_variables(rng, im_stack, th0)
+    params_fix = graph.default_params(
+        spec, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+    th_final, _, _, _ = planner.plan(
+        variables, params_fix, th0, batch["sdf"], batch["im"], max_iters=5
+    )
+    th_best, _, _, _ = planner.plan(
+        variables, params_fix, th0, batch["sdf"], batch["im"], max_iters=5,
+        track_best=True,
+    )
+
+    def score(th):
+        res = graph.eval_residuals(spec, ROBOT, params_fix, th, batch["sdf"])
+        colliding = jnp.any(res.r_obs[..., 1:-1, :] > 0, axis=(-2, -1))
+        assert res.r_obsi is not None
+        colliding = colliding | jnp.any(res.r_obsi > 0, axis=(-3, -2, -1))
+        gp = jnp.mean(jnp.sum(res.r_gp**2, -1), axis=-1)
+        return np.asarray(jnp.where(colliding, jnp.inf, gp))
+
+    assert np.all(score(th_best) <= score(th_final) + 1e-9)

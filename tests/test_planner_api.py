@@ -178,7 +178,11 @@ def test_train_planner_cli_smoke(tmp_path):
     plan["gpmp2"]["optim_params"]["max_iters"] = 6
     yaml.safe_dump(plan, open(cfgdir / "plan.yaml", "w"))
     learn = yaml.safe_load(open(os.path.join(CFG, "learn_params.yaml")))
-    learn["optim"].update(batch_size=4, epochs=1, save_epoch=1, eval_epoch=5)
+    # Non-adam optimizer: its opt-state pytree differs from adam's, so the
+    # eval CLI must rebuild its restore template from this YAML (regression:
+    # test_planner hard-coded an adam template and orbax restore broke).
+    learn["optim"].update(batch_size=4, epochs=1, save_epoch=1, eval_epoch=5,
+                          optimizer="sgd", momentum=0.9)
     learn["data"].update(im_size=32, valid_size=0.0)
     learn["dgpmp2"].update(T=2, tk=2, static_init=True)
     yaml.safe_dump(learn, open(cfgdir / "learn.yaml", "w"))
