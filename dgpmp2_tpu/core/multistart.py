@@ -1,0 +1,154 @@
+"""Batched multi-start planning: initialization search by batching.
+
+GPMP2 is a local optimizer — on dense clutter (the ``forest`` family) the
+straight-line seed puts Gauss-Newton in a colliding basin and no
+covariance tuning gets it out (measured: every static sigma AND every
+learned-covariance config sits at contact_free ≈ 0.26-0.32 on forest,
+while the expert labels show contact_free 1.0 is attainable;
+PERFORMANCE.md).  The reference has no answer to this: its planner loops
+over problems serially in Python (``diff_gpmp2_planner.py:92-174``), so K
+restarts cost K× wall-clock.
+
+On TPU the fix is structural: plan all K perturbed seeds of all B
+problems as ONE (K·B)-batch through the compiled plan loop — at
+~0.15 ms/GN-iteration for B=1024 (BENCH), 16 restarts are essentially
+free — then select per problem.  Measured on the forest test split this
+lifts contact_free from 0.26 (best static sigma, straight-line seed) to
+0.83 (sigma 0.5, 16 restarts): a 3.1× improvement no per-problem-loop
+implementation can afford.
+
+Seeds are endpoint-vanishing sine-harmonic position bumps with the
+matching analytic velocity perturbation (restart 0 is always the
+unperturbed base), so every seed still satisfies the boundary conditions
+exactly.  Selection prefers contact-free trajectories, graded by total
+contact depth when none are (the margin-hinge criterion is unsatisfiable
+on dense clutter — the expert ceiling itself violates it), tie-broken by
+velocity smoothness.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dgpmp2_tpu.core import gn
+from dgpmp2_tpu.core import graph as graph_lib
+from dgpmp2_tpu.ops import sdf as sdf_ops
+
+
+def perturbed_inits(
+    th0: jnp.ndarray,
+    rng: jax.Array,
+    restarts: int,
+    amp: float,
+    total_time_sec: float,
+    harmonics: int = 3,
+) -> jnp.ndarray:
+    """(B, T+1, 2·dof) base trajectory -> (K, B, T+1, 2·dof) seeds.
+
+    Position perturbation per restart/problem/dof is
+    ``sum_h a_h sin(h π s)`` with ``a_h ~ N(0, (amp/h)²)`` over normalized
+    time ``s ∈ [0, 1]`` — zero at both endpoints, smooth, and decaying in
+    frequency like the GP prior.  Velocities get the analytic derivative
+    so seeds remain dynamically consistent.  Restart 0 is the base.
+    """
+    b, t1, sd = th0.shape
+    dof = sd // 2
+    h = jnp.arange(1, harmonics + 1, dtype=th0.dtype)
+    s = jnp.linspace(0.0, 1.0, t1, dtype=th0.dtype)
+    basis = jnp.sin(h[:, None] * jnp.pi * s[None, :])  # (H, T+1)
+    dbasis = (h[:, None] * jnp.pi) * jnp.cos(
+        h[:, None] * jnp.pi * s[None, :]
+    ) / total_time_sec
+    a = amp * jax.random.normal(rng, (restarts, b, harmonics, dof), th0.dtype)
+    a = a / h[None, None, :, None]
+    a = a.at[0].set(0.0)
+    dpos = jnp.einsum("kbhd,ht->kbtd", a, basis)
+    dvel = jnp.einsum("kbhd,ht->kbtd", a, dbasis)
+    return jnp.concatenate(
+        [th0[None, ..., :dof] + dpos, th0[None, ..., dof:] + dvel], axis=-1
+    )
+
+
+class MultistartResult(NamedTuple):
+    th: jnp.ndarray        # (B, T+1, D) selected trajectories
+    score: jnp.ndarray     # (B,) selected score (lower is better)
+    k_best: jnp.ndarray    # (B,) index of the winning restart
+    contact_free: jnp.ndarray  # (B,) bool: selected traj clears the radius
+
+
+def _tile_params(params: graph_lib.GraphParams, b: int, k: int):
+    """Repeat every per-problem leaf K times (K-major, matching the
+    ``(K, B) -> (K·B)`` reshape of the seeds)."""
+    def rep(x):
+        if x is None or getattr(x, "ndim", 0) == 0 or x.shape[0] != b:
+            return x
+        return jnp.tile(x, (k,) + (1,) * (x.ndim - 1))
+
+    return jax.tree.map(rep, params)
+
+
+def plan_multistart(
+    spec: graph_lib.GraphSpec,
+    robot,
+    params: graph_lib.GraphParams,
+    th_init: jnp.ndarray,
+    sdf: jnp.ndarray,
+    cfg: gn.OptimConfig,
+    rng: jax.Array,
+    restarts: int = 8,
+    amp: float = 1.5,
+    harmonics: int = 3,
+    unroll: int = 1,
+    contact_weight: float = 1e6,
+) -> MultistartResult:
+    """Plan ``restarts`` perturbed seeds per problem as one batch, select
+    the best per problem.  Fully jittable (fixed shapes, no Python loop);
+    the planner itself runs with ``track_best=True`` so each restart also
+    contributes its best iterate, not just its final one.
+
+    Score per candidate: ``contact_weight · Σ interior contact depth +
+    velocity-smoothness MSE`` — contact-free candidates dominate any
+    contacting one, and among contact-free (or among contacting) ones the
+    smoother trajectory wins.
+    """
+    b = th_init.shape[0]
+    th0s = perturbed_inits(th_init, rng, restarts, amp, spec.total_time_sec,
+                           harmonics)
+    th0s = th0s.reshape(restarts * b, *th0s.shape[2:])
+    sdf_t = jnp.tile(sdf, (restarts, 1, 1))
+    params_t = _tile_params(params, b, restarts)
+
+    th = gn.plan(spec, robot, params_t, th0s, sdf_t, cfg, unroll=unroll,
+                 track_best=True).best_th
+
+    res = (spec.x_lims[1] - spec.x_lims[0]) / sdf.shape[-1]
+    centers, _ = robot.fk(th)  # (K·B, T+1, L, 2)
+    kb, t1, l, _ = centers.shape
+    d, _ = sdf_ops.bilinear_lookup(
+        sdf_t, centers.reshape(kb, t1 * l, 2), res, spec.x_lims, spec.y_lims
+    )
+    pen = jnp.maximum(
+        robot.radii_array(th.dtype)[None, None, :]
+        - d.reshape(kb, t1, l), 0.0
+    )
+    contact = jnp.sum(pen[:, 1:-1, :], axis=(-2, -1))
+    vel = th[..., spec.dof:]
+    smooth = jnp.mean(jnp.sum(jnp.diff(vel, axis=-2) ** 2, -1), -1)
+    score = contact * contact_weight + smooth
+
+    score_kb = score.reshape(restarts, b)
+    th_kb = th.reshape(restarts, b, *th.shape[1:])
+    k_best = jnp.argmin(score_kb, axis=0)
+    th_sel = jnp.take_along_axis(
+        th_kb, k_best[None, :, None, None], axis=0
+    )[0]
+    score_sel = jnp.take_along_axis(score_kb, k_best[None, :], axis=0)[0]
+    contact_sel = jnp.take_along_axis(
+        contact.reshape(restarts, b), k_best[None, :], axis=0
+    )[0]
+    return MultistartResult(
+        th=th_sel, score=score_sel, k_best=k_best,
+        contact_free=contact_sel <= 0.0,
+    )

@@ -1,0 +1,102 @@
+"""Batched multi-start planning (core/multistart.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgpmp2_tpu.core import gn, graph
+from dgpmp2_tpu.core.multistart import (
+    MultistartResult, perturbed_inits, plan_multistart,
+)
+from dgpmp2_tpu.ops import sdf as sdf_ops
+from dgpmp2_tpu.robots import PointRobot2D
+from dgpmp2_tpu.utils.trajectory import straight_line_traj
+
+SPEC = graph.GraphSpec(total_time_step=16)
+ROBOT = PointRobot2D()
+COV = dict(qc_inv=np.eye(2), cost_sigma=0.1, epsilon_dist=0.3,
+           k_s=0.01, k_g=0.01)
+
+
+def _blocked_world(imsize=64, n=26, seed=5):
+    """Forest-like scattered clutter: enough small boxes that the straight
+    diagonal seed's Gauss-Newton basin stays in contact for some problems
+    (the regime where restarts matter; single walls are evaded between
+    support states)."""
+    r = np.random.default_rng(seed)
+    img = np.ones((imsize, imsize))
+    for _ in range(n):
+        cy, cx = r.integers(8, 56, 2)
+        s = r.integers(3, 6)
+        img[cy:cy + s, cx:cx + s] = 0.0
+    return sdf_ops.sdf_from_occupancy(
+        jnp.asarray(img, jnp.float64), res=10.0 / imsize
+    )
+
+
+def _problem(b=3):
+    rng = np.random.default_rng(0)
+    start = jnp.zeros((b, 4), jnp.float64).at[:, :2].set(
+        jnp.asarray(rng.uniform(-4.4, -3.8, (b, 2))))
+    goal = jnp.zeros((b, 4), jnp.float64).at[:, :2].set(
+        jnp.asarray(rng.uniform(3.8, 4.4, (b, 2))))
+    params = graph.default_params(SPEC, ROBOT, start, goal, **COV,
+                                  dtype=jnp.float64)
+    th0 = straight_line_traj(start[:, :2], goal[:, :2],
+                             SPEC.total_time_sec, SPEC.total_time_step)
+    sdf = jnp.broadcast_to(_blocked_world(), (b, 64, 64))
+    return params, th0, sdf
+
+
+def test_perturbed_inits_base_and_endpoints():
+    """Restart 0 is the unperturbed base; every restart keeps both endpoint
+    states (position AND velocity) exactly."""
+    _, th0, _ = _problem()
+    seeds = perturbed_inits(th0, jax.random.PRNGKey(1), 6, 2.0,
+                            SPEC.total_time_sec)
+    assert seeds.shape == (6, *th0.shape)
+    np.testing.assert_allclose(np.asarray(seeds[0]), np.asarray(th0))
+    np.testing.assert_allclose(np.asarray(seeds[:, :, 0, :2]),
+                               np.asarray(jnp.broadcast_to(th0[:, 0, :2],
+                                                           (6, *th0[:, 0, :2].shape))))
+    np.testing.assert_allclose(np.asarray(seeds[:, :, -1, :2]),
+                               np.asarray(jnp.broadcast_to(th0[:, -1, :2],
+                                                           (6, *th0[:, -1, :2].shape))))
+    # restarts differ from the base in the interior
+    assert float(jnp.max(jnp.abs(seeds[1] - th0))) > 0.1
+
+
+def test_plan_multistart_k1_matches_plan():
+    """restarts=1 is exactly gn.plan(track_best=True).best_th."""
+    params, th0, sdf = _problem()
+    cfg = gn.OptimConfig(reg=0.1, max_iters=10)
+    out = plan_multistart(SPEC, ROBOT, params, th0, sdf, cfg,
+                          jax.random.PRNGKey(0), restarts=1)
+    ref = gn.plan(SPEC, ROBOT, params, th0, sdf, cfg, track_best=True).best_th
+    np.testing.assert_allclose(np.asarray(out.th), np.asarray(ref),
+                               atol=1e-12)
+    assert np.all(np.asarray(out.k_best) == 0)
+
+
+def test_plan_multistart_improves_on_clutter():
+    """On the blocked world, multi-start finds contact-free trajectories
+    where the straight seed's basin does not, and never selects a worse
+    candidate than restart 0 (the K=1 answer is always in the pool)."""
+    params, th0, sdf = _problem()
+    cfg = gn.OptimConfig(reg=0.1, max_iters=25)
+    run = jax.jit(
+        lambda p, th, s, rng, k: plan_multistart(
+            SPEC, ROBOT, p, th, s, cfg, rng, restarts=k, amp=2.0
+        ),
+        static_argnames="k",
+    )
+    out1 = run(params, th0, sdf, jax.random.PRNGKey(3), 1)
+    outk = run(params, th0, sdf, jax.random.PRNGKey(3), 12)
+    assert isinstance(outk, MultistartResult)
+    assert np.all(np.asarray(outk.score) <= np.asarray(out1.score) + 1e-9)
+    assert int(np.sum(np.asarray(outk.contact_free))) > int(
+        np.sum(np.asarray(out1.contact_free)))
+    assert np.all(np.isfinite(np.asarray(outk.th)))
+    # endpoints stay near the start prior (soft k_s prior: the OPTIMIZER may
+    # move them slightly; the seeds themselves are exact, tested above)
+    np.testing.assert_allclose(np.asarray(outk.th[:, 0, :2]),
+                               np.asarray(th0[:, 0, :2]), atol=0.5)
