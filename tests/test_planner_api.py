@@ -242,3 +242,28 @@ def test_classic_planner_batched_matches_single():
                                        atol=1e-9)
             assert int(itersb[i]) == it1
             np.testing.assert_allclose(efb[i], ef1, rtol=1e-9)
+
+
+def test_classic_planner_multistart_api():
+    """GPMP2Planner.plan_multistart: selection is never worse than the
+    single-seed plan (restart 0 is in the pool) and returns per-problem
+    winners with finite trajectories."""
+    env, pp, gp, obs, opt, robot_data = _load()
+    pp = dict(pp, total_time_step=12)
+    robot = make_robot(robot_data)
+    planner = GPMP2Planner(
+        gp, obs, pp, {"x_lims": env["x_lims"], "y_lims": env["y_lims"]}, robot
+    )
+    sdf = _world()
+    starts = jnp.asarray([[-4.0, -4.0, 0, 0], [-3.5, -4.0, 0, 0]], jnp.float64)
+    goals = jnp.asarray([[4.0, 4.0, 0, 0], [3.5, 4.0, 0, 0]], jnp.float64)
+    th0b = straight_line_traj(starts[:, :2], goals[:, :2], 10.0, 12)
+    sdfb = jnp.broadcast_to(sdf, (2, *sdf.shape))
+    op = {"method": "gauss_newton", "max_iters": 15, "reg": 0.1}
+    out1 = planner.plan_multistart(starts, goals, th0b, sdfb, op, restarts=1)
+    outk = planner.plan_multistart(starts, goals, th0b, sdfb, op, restarts=6,
+                                   amp=2.0)
+    assert outk.th.shape == th0b.shape
+    assert np.all(np.isfinite(np.asarray(outk.th)))
+    assert np.all(np.asarray(outk.score) <= np.asarray(out1.score) + 1e-9)
+    assert np.all(np.asarray(out1.k_best) == 0)
