@@ -122,22 +122,36 @@ def plan_multistart(
 
     th = gn.plan(spec, robot, params_t, th0s, sdf_t, cfg, unroll=unroll,
                  track_best=True).best_th
+    return select_best(spec, robot, th, sdf_t, restarts, b,
+                       contact_weight=contact_weight)
 
+
+def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6):
+    """(N, T+1, D) candidates against (N, H, W) SDFs -> (score (N,),
+    contact (N,)): contact depth dominates, smoothness breaks ties."""
     res = (spec.x_lims[1] - spec.x_lims[0]) / sdf.shape[-1]
-    centers, _ = robot.fk(th)  # (K·B, T+1, L, 2)
-    kb, t1, l, _ = centers.shape
+    centers, _ = robot.fk(th)  # (N, T+1, L, 2)
+    n, t1, l, _ = centers.shape
     d, _ = sdf_ops.bilinear_lookup(
-        sdf_t, centers.reshape(kb, t1 * l, 2), res, spec.x_lims, spec.y_lims
+        sdf, centers.reshape(n, t1 * l, 2), res, spec.x_lims, spec.y_lims
     )
     pen = jnp.maximum(
-        robot.radii_array(th.dtype)[None, None, :]
-        - d.reshape(kb, t1, l), 0.0
+        robot.radii_array(th.dtype)[None, None, :] - d.reshape(n, t1, l), 0.0
     )
     contact = jnp.sum(pen[:, 1:-1, :], axis=(-2, -1))
     vel = th[..., spec.dof:]
     smooth = jnp.mean(jnp.sum(jnp.diff(vel, axis=-2) ** 2, -1), -1)
-    score = contact * contact_weight + smooth
+    return contact * contact_weight + smooth, contact
 
+
+def select_best(spec, robot, th, sdf_t, restarts: int, b: int,
+                contact_weight: float = 1e6) -> MultistartResult:
+    """Select the winning candidate per problem from (K·B) planned
+    trajectories (K-major, matching :func:`plan_multistart`'s tiling) —
+    exposed separately so any planner (e.g. the learned-covariance one)
+    can compose with multi-start seeds."""
+    score, contact = score_candidates(spec, robot, th, sdf_t,
+                                      contact_weight)
     score_kb = score.reshape(restarts, b)
     th_kb = th.reshape(restarts, b, *th.shape[1:])
     k_best = jnp.argmin(score_kb, axis=0)

@@ -5,7 +5,8 @@ import numpy as np
 
 from dgpmp2_tpu.core import gn, graph
 from dgpmp2_tpu.core.multistart import (
-    MultistartResult, perturbed_inits, plan_multistart,
+    MultistartResult, perturbed_inits, plan_multistart, score_candidates,
+    select_best,
 )
 from dgpmp2_tpu.ops import sdf as sdf_ops
 from dgpmp2_tpu.robots import PointRobot2D
@@ -75,6 +76,29 @@ def test_plan_multistart_k1_matches_plan():
     np.testing.assert_allclose(np.asarray(out.th), np.asarray(ref),
                                atol=1e-12)
     assert np.all(np.asarray(out.k_best) == 0)
+
+
+def test_select_best_picks_argmin_per_problem():
+    """select_best on a hand-tiled (K·B) pool: the winner per problem is
+    the candidate score_candidates ranks lowest, and contact_free mirrors
+    its contact depth.  This is the composition contract external planners
+    (learned covariances, InitNet seeds) rely on."""
+    params, th0, sdf = _problem(b=2)
+    k, b = 4, 2
+    seeds = perturbed_inits(th0, jax.random.PRNGKey(7), k, 2.5,
+                            SPEC.total_time_sec)
+    th = seeds.reshape(k * b, *seeds.shape[2:])
+    sdf_t = jnp.tile(sdf, (k, 1, 1))
+    out = select_best(SPEC, ROBOT, th, sdf_t, k, b)
+    score, contact = score_candidates(SPEC, ROBOT, th, sdf_t)
+    score_kb = np.asarray(score).reshape(k, b)
+    expect_k = np.argmin(score_kb, axis=0)
+    np.testing.assert_array_equal(np.asarray(out.k_best), expect_k)
+    for i in range(b):
+        np.testing.assert_allclose(
+            np.asarray(out.th[i]), np.asarray(seeds[expect_k[i], i]))
+        assert bool(out.contact_free[i]) == (
+            float(np.asarray(contact).reshape(k, b)[expect_k[i], i]) <= 0.0)
 
 
 def test_plan_multistart_improves_on_clutter():

@@ -34,13 +34,15 @@ import numpy as np
 import yaml
 
 from dgpmp2_tpu.core import gn, graph
-from dgpmp2_tpu.core.multistart import plan_multistart
+from dgpmp2_tpu.core.multistart import (
+    perturbed_inits, plan_multistart, select_best,
+)
 from dgpmp2_tpu.data import dataset as ds
 from dgpmp2_tpu.learn.eval import evaluate_batch, summarize
 from dgpmp2_tpu.robots import PointRobot2D
 from dgpmp2_tpu.utils.trajectory import straight_line_traj
 
-from learned_campaign import COV, SIGMAS
+from learned_campaign import COV, SIGMAS, CONFIGS, make_planner
 
 
 def eval_family(root, spec, robot, K, amp, batch_size, seed):
@@ -87,6 +89,59 @@ def eval_family(root, spec, robot, K, amp, batch_size, seed):
     return rows
 
 
+def load_batches(root, batch_size):
+    test_ds = ds.PlanningDataset(root, mode="test",
+                                 label_subdir="opt_trajs_gpmp2")
+    n = len(test_ds) - len(test_ds) % batch_size
+    return [
+        {k: jnp.asarray(v) for k, v in b.items()}
+        for b in ds.as_batches(test_ds, np.arange(n), batch_size,
+                               drop_remainder=True)
+    ]
+
+
+def eval_family_learned_ms(root, planner, variables, K, amp, batch_size,
+                           seed):
+    """Learned-covariance planner composed with multi-start seeds: the
+    (K·B)-tiled batch goes through LearnedDiffGPMP2Planner.plan (the
+    covariance head predicts per candidate), selection via
+    core.multistart.select_best."""
+    spec, robot = planner.spec, planner.robot
+    batches = load_batches(root, batch_size)
+    plan_jit = jax.jit(
+        lambda v, p, th0, s, im: planner.plan(v, p, th0, s, im, max_iters=50,
+                                              track_best=True)[0]
+    )
+    sel_jit = jax.jit(
+        lambda th, s: select_best(spec, robot, th, s, K, batch_size)
+    )
+    all_m = []
+    rng = jax.random.PRNGKey(seed)
+    for bi, b in enumerate(batches):
+        start, goal = b["start"], b["goal"]
+        th0 = straight_line_traj(
+            start[:, :2], goal[:, :2], spec.total_time_sec,
+            spec.total_time_step,
+        ).astype(jnp.float32)
+        th0s = perturbed_inits(th0, jax.random.fold_in(rng, bi), K, amp,
+                               spec.total_time_sec)
+        th0s = th0s.reshape(K * batch_size, *th0s.shape[2:])
+        sdf_t = jnp.tile(b["sdf"], (K, 1, 1))
+        im_t = jnp.tile(b["im"], (K, 1, 1))
+        params_t = graph.default_params(
+            spec, robot, jnp.tile(start, (K, 1)), jnp.tile(goal, (K, 1)),
+            **COV, dtype=jnp.float32,
+        )
+        th = plan_jit(variables, params_t, th0s, sdf_t, im_t)
+        out = sel_jit(th, sdf_t)
+        params_eval = graph.default_params(spec, robot, start, goal, **COV,
+                                           dtype=jnp.float32)
+        all_m.append(evaluate_batch(spec, robot, params_eval, out.th,
+                                    b["th_opt"], b["sdf"]))
+    merged = {k: np.concatenate([m[k] for m in all_m]) for k in all_m[0]}
+    return summarize(merged)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_root", required=True)
@@ -99,42 +154,89 @@ def main(argv=None):
     p.add_argument("--amp", type=float, default=1.5)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cov_model", default=None,
+                   help="<config>:<vars.npz> learned covariance model to "
+                        "compose with multi-start seeds")
+    p.add_argument("--no_static", action="store_true",
+                   help="skip the static sigma sweep (learned-only pass)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
     spec = graph.GraphSpec(total_time_step=args.t)
     robot = PointRobot2D()
 
+    results_path = os.path.join(args.out, "results.yaml")
     results = {}
-    for fam in args.families:
-        root = os.path.join(args.data_root, f"data_{fam}")
-        print(f"[{fam}] K={args.restarts} sigma sweep", flush=True)
-        t0 = time.time()
-        rows = eval_family(root, spec, robot, args.restarts, args.amp,
-                           args.batch, args.seed)
-        best_solve = max(rows.values(),
-                         key=lambda m: (m["solve_rate"],
-                                        m["contact_free_rate"]))
-        best_cf = max(rows.values(), key=lambda m: m["contact_free_rate"])
-        results[fam] = {"by_sigma": rows, "best_solve": best_solve,
-                        "best_contact_free": best_cf}
-        print(f"[{fam}] best solve_rate={best_solve['solve_rate']:.3f} "
-              f"(sigma {best_solve['sigma']}), best contact_free="
-              f"{best_cf['contact_free_rate']:.3f} (sigma "
-              f"{best_cf['sigma']}) in {time.time() - t0:.0f}s", flush=True)
+    if os.path.exists(results_path):
+        with open(results_path) as fp:
+            results = yaml.safe_load(fp) or {}
 
-    with open(os.path.join(args.out, "results.yaml"), "w") as fp:
+    if not args.no_static:
+        for fam in args.families:
+            root = os.path.join(args.data_root, f"data_{fam}")
+            print(f"[{fam}] K={args.restarts} sigma sweep", flush=True)
+            t0 = time.time()
+            rows = eval_family(root, spec, robot, args.restarts, args.amp,
+                               args.batch, args.seed)
+            best_solve = max(rows.values(),
+                             key=lambda m: (m["solve_rate"],
+                                            m["contact_free_rate"]))
+            best_cf = max(rows.values(),
+                          key=lambda m: m["contact_free_rate"])
+            results.setdefault(fam, {}).update(
+                by_sigma=rows, best_solve=best_solve,
+                best_contact_free=best_cf)
+            print(f"[{fam}] best solve_rate={best_solve['solve_rate']:.3f} "
+                  f"(sigma {best_solve['sigma']}), best contact_free="
+                  f"{best_cf['contact_free_rate']:.3f} (sigma "
+                  f"{best_cf['sigma']}) in {time.time() - t0:.0f}s",
+                  flush=True)
+
+    if args.cov_model:
+        cname, vpath = args.cov_model.split(":", 1)
+        planner = make_planner(args.t, CONFIGS[cname][1])
+        root0 = os.path.join(args.data_root, f"data_{args.families[0]}")
+        b0 = load_batches(root0, args.batch)[0]
+        tmpl = planner.init_variables(
+            jax.random.PRNGKey(0),
+            planner.stack_inputs(b0["im"], b0["sdf"]), b0["th_opt"],
+        )
+        loaded = np.load(vpath, allow_pickle=True)
+        flat, treedef = jax.tree_util.tree_flatten(tmpl)
+        variables = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(loaded[f"v{i}"]) for i in range(len(flat))]
+        )
+        for fam in args.families:
+            root = os.path.join(args.data_root, f"data_{fam}")
+            t0 = time.time()
+            m = eval_family_learned_ms(root, planner, variables,
+                                       args.restarts, args.amp, args.batch,
+                                       args.seed)
+            results.setdefault(fam, {})[f"{cname}_ms{args.restarts}"] = m
+            print(f"[{fam}] {cname}+ms{args.restarts}: solve_rate="
+                  f"{m['solve_rate']:.3f} contact_free="
+                  f"{m['contact_free_rate']:.3f} in {time.time() - t0:.0f}s",
+                  flush=True)
+
+    with open(results_path, "w") as fp:
         yaml.safe_dump(results, fp)
 
-    lines = [f"**multi-start K={args.restarts}** (static covariances, "
-             "straight base, best of 9 sigmas per family)",
+    lines = [f"**multi-start K={args.restarts}** (straight base; static = "
+             "best of 9 sigmas per family)",
              "", "| family | solve_rate | contact_free (same row) | "
-             "best contact_free (any sigma) |", "|---|---|---|---|"]
+             "best contact_free (any sigma) | learned+ms solve | "
+             "learned+ms contact_free |", "|---|---|---|---|---|---|"]
     for fam, r in results.items():
+        bs, bc = r.get("best_solve"), r.get("best_contact_free")
+        lm = next((v for k, v in r.items() if k.endswith(
+            f"_ms{args.restarts}")), None)
         lines.append(
-            f"| {fam} | {r['best_solve']['solve_rate']:.4f} | "
-            f"{r['best_solve']['contact_free_rate']:.4f} | "
-            f"{r['best_contact_free']['contact_free_rate']:.4f} |"
+            f"| {fam} | "
+            + (f"{bs['solve_rate']:.4f} | {bs['contact_free_rate']:.4f} | "
+               if bs else "— | — | ")
+            + (f"{bc['contact_free_rate']:.4f} | " if bc else "— | ")
+            + (f"{lm['solve_rate']:.4f} | {lm['contact_free_rate']:.4f} |"
+               if lm else "— | — |")
         )
     table = "\n".join(lines)
     print(table)
