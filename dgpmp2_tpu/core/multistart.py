@@ -78,7 +78,7 @@ class MultistartResult(NamedTuple):
     contact_free: jnp.ndarray  # (B,) bool: selected traj clears the radius
 
 
-def _tile_params(params: graph_lib.GraphParams, b: int, k: int):
+def tile_params(params: graph_lib.GraphParams, b: int, k: int):
     """Repeat every per-problem leaf K times (K-major, matching the
     ``(K, B) -> (K·B)`` reshape of the seeds)."""
     def rep(x):
@@ -118,7 +118,7 @@ def plan_multistart(
                            harmonics)
     th0s = th0s.reshape(restarts * b, *th0s.shape[2:])
     sdf_t = jnp.tile(sdf, (restarts, 1, 1))
-    params_t = _tile_params(params, b, restarts)
+    params_t = tile_params(params, b, restarts)
 
     th = gn.plan(spec, robot, params_t, th0s, sdf_t, cfg, unroll=unroll,
                  track_best=True).best_th

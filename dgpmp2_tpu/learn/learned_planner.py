@@ -386,6 +386,54 @@ class LearnedDiffGPMP2Planner:
             th = jnp.where(jnp.isfinite(best_s)[:, None, None], best_th, th)
         return th, errs, errs_ext, hidden
 
+    def plan_multistart(
+        self,
+        variables,
+        params_fix: graph.GraphParams,
+        th_init,
+        sdf,
+        im,
+        rng,
+        restarts: int = 8,
+        amp: float = 1.5,
+        harmonics: int = 3,
+        max_iters: Optional[int] = None,
+        contact_weight: float = 1e6,
+    ):
+        """Learned covariances composed with batched multi-start seeding:
+        plan ``restarts`` endpoint-preserving perturbations of every seed
+        as ONE (K·B)-batch through :meth:`plan` (the covariance head
+        predicts per candidate), then select per problem
+        (:func:`~dgpmp2_tpu.core.multistart.select_best`).
+
+        The two mechanisms attack different failure modes — multi-start
+        fixes Gauss-Newton basin selection, learned covariances fix the
+        conditioning inside the basin — and their gains compose (wins
+        every family vs both parents AND the static+multistart sigma
+        oracle; PERFORMANCE.md "Learned covariances × multi-start").
+        The reference has neither: its planner loops problems serially
+        (``diff_gpmp2_planner.py:92-174``).
+
+        Returns a :class:`~dgpmp2_tpu.core.multistart.MultistartResult`.
+        """
+        from dgpmp2_tpu.core.multistart import (
+            perturbed_inits, select_best, tile_params,
+        )
+
+        b = th_init.shape[0]
+        th0s = perturbed_inits(th_init, rng, restarts, amp,
+                               self.spec.total_time_sec, harmonics)
+        th0s = th0s.reshape(restarts * b, *th0s.shape[2:])
+        sdf_t = jnp.tile(sdf, (restarts, 1, 1))
+        im_t = jnp.tile(im, (restarts, 1, 1))
+        params_t = tile_params(params_fix, b, restarts)
+        th, _, _, _ = self.plan(
+            variables, params_t, th0s, sdf_t, im_t, max_iters=max_iters,
+            track_best=True,
+        )
+        return select_best(self.spec, self.robot, th, sdf_t, restarts, b,
+                           contact_weight=contact_weight)
+
 
 def _apply(module, variables, mutable, *args, **kwargs):
     out = module.apply(variables, *args, mutable=mutable, **kwargs)

@@ -125,6 +125,46 @@ def test_learned_plan_unrolls():
     assert np.all(np.isfinite(np.asarray(th)))
 
 
+def test_learned_plan_multistart_composes():
+    """LearnedDiffGPMP2Planner.plan_multistart: result shapes are per
+    problem, the selected candidate never scores worse than the K=1
+    (unperturbed, restart-0) plan, and trajectories stay finite."""
+    from dgpmp2_tpu.core.multistart import MultistartResult, score_candidates
+
+    planner = _make_planner()
+    batch = _toy_batch()
+    rng = jax.random.PRNGKey(2)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    th0 = batch["th_opt"]
+    variables = planner.init_variables(rng, im_stack, th0)
+    params_fix = graph.default_params(
+        SPEC, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+    out1 = planner.plan_multistart(
+        variables, params_fix, th0, batch["sdf"], batch["im"],
+        jax.random.PRNGKey(3), restarts=1, max_iters=5,
+    )
+    outk = planner.plan_multistart(
+        variables, params_fix, th0, batch["sdf"], batch["im"],
+        jax.random.PRNGKey(3), restarts=4, amp=1.0, max_iters=5,
+    )
+    assert isinstance(outk, MultistartResult)
+    assert outk.th.shape == th0.shape
+    assert np.all(np.isfinite(np.asarray(outk.th)))
+    assert np.all(np.asarray(outk.score) <= np.asarray(out1.score) + 1e-6)
+    # restart 0 is the unperturbed seed, so K=1 equals plan(track_best)
+    th_ref, _, _, _ = planner.plan(
+        variables, params_fix, th0, batch["sdf"], batch["im"], max_iters=5,
+        track_best=True,
+    )
+    np.testing.assert_allclose(np.asarray(out1.th), np.asarray(th_ref),
+                               atol=1e-6)
+    score_ref, _ = score_candidates(SPEC, ROBOT, th_ref, batch["sdf"])
+    np.testing.assert_allclose(np.asarray(out1.score), np.asarray(score_ref),
+                               rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_train_step_decreases_loss():
     planner = _make_planner()

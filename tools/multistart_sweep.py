@@ -34,9 +34,7 @@ import numpy as np
 import yaml
 
 from dgpmp2_tpu.core import gn, graph
-from dgpmp2_tpu.core.multistart import (
-    perturbed_inits, plan_multistart, select_best,
-)
+from dgpmp2_tpu.core.multistart import plan_multistart
 from dgpmp2_tpu.data import dataset as ds
 from dgpmp2_tpu.learn.eval import evaluate_batch, summarize
 from dgpmp2_tpu.robots import PointRobot2D
@@ -108,12 +106,10 @@ def eval_family_learned_ms(root, planner, variables, K, amp, batch_size,
     core.multistart.select_best."""
     spec, robot = planner.spec, planner.robot
     batches = load_batches(root, batch_size)
-    plan_jit = jax.jit(
-        lambda v, p, th0, s, im: planner.plan(v, p, th0, s, im, max_iters=50,
-                                              track_best=True)[0]
-    )
-    sel_jit = jax.jit(
-        lambda th, s: select_best(spec, robot, th, s, K, batch_size)
+    ms_jit = jax.jit(
+        lambda v, p, th0, s, im, rng: planner.plan_multistart(
+            v, p, th0, s, im, rng, restarts=K, amp=amp, max_iters=50,
+        )
     )
     all_m = []
     rng = jax.random.PRNGKey(seed)
@@ -123,20 +119,11 @@ def eval_family_learned_ms(root, planner, variables, K, amp, batch_size,
             start[:, :2], goal[:, :2], spec.total_time_sec,
             spec.total_time_step,
         ).astype(jnp.float32)
-        th0s = perturbed_inits(th0, jax.random.fold_in(rng, bi), K, amp,
-                               spec.total_time_sec)
-        th0s = th0s.reshape(K * batch_size, *th0s.shape[2:])
-        sdf_t = jnp.tile(b["sdf"], (K, 1, 1))
-        im_t = jnp.tile(b["im"], (K, 1, 1))
-        params_t = graph.default_params(
-            spec, robot, jnp.tile(start, (K, 1)), jnp.tile(goal, (K, 1)),
-            **COV, dtype=jnp.float32,
-        )
-        th = plan_jit(variables, params_t, th0s, sdf_t, im_t)
-        out = sel_jit(th, sdf_t)
-        params_eval = graph.default_params(spec, robot, start, goal, **COV,
-                                           dtype=jnp.float32)
-        all_m.append(evaluate_batch(spec, robot, params_eval, out.th,
+        params = graph.default_params(spec, robot, start, goal, **COV,
+                                      dtype=jnp.float32)
+        out = ms_jit(variables, params, th0, b["sdf"], b["im"],
+                     jax.random.fold_in(rng, bi))
+        all_m.append(evaluate_batch(spec, robot, params, out.th,
                                     b["th_opt"], b["sdf"]))
     merged = {k: np.concatenate([m[k] for m in all_m]) for k in all_m[0]}
     return summarize(merged)
