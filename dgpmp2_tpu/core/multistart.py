@@ -27,6 +27,8 @@ velocity smoothness.
 """
 from __future__ import annotations
 
+import dataclasses
+
 from typing import NamedTuple, Optional
 
 import jax
@@ -102,6 +104,8 @@ def plan_multistart(
     harmonics: int = 3,
     unroll: int = 1,
     contact_weight: float = 1e6,
+    prune_iters: int = 0,
+    keep: int = 0,
 ) -> MultistartResult:
     """Plan ``restarts`` perturbed seeds per problem as one batch, select
     the best per problem.  Fully jittable (fixed shapes, no Python loop);
@@ -112,6 +116,17 @@ def plan_multistart(
     velocity-smoothness MSE`` — contact-free candidates dominate any
     contacting one, and among contact-free (or among contacting) ones the
     smoother trajectory wins.
+
+    **Staged pruning** (``prune_iters > 0`` and ``0 < keep < restarts``):
+    plan all K seeds for only ``prune_iters`` iterations, keep the
+    ``keep`` best candidates per problem (by the same score), and finish
+    only those for the remaining ``max_iters - prune_iters`` iterations.
+    Basin membership is decided early in Gauss-Newton, so most of the
+    pool is redundant after a few iterations — this buys K-seed coverage
+    at roughly ``keep``-seed cost (FLOP ratio ``(K·p + keep·(M-p)) /
+    (K·M)``, e.g. K=32, keep=4, p=10/50 → 0.26).  Final selection
+    considers both each survivor's phase-1 best and phase-2 best
+    iterates, so pruning never discards a kept candidate's early winner.
     """
     b = th_init.shape[0]
     th0s = perturbed_inits(th_init, rng, restarts, amp, spec.total_time_sec,
@@ -120,10 +135,50 @@ def plan_multistart(
     sdf_t = jnp.tile(sdf, (restarts, 1, 1))
     params_t = tile_params(params, b, restarts)
 
-    th = gn.plan(spec, robot, params_t, th0s, sdf_t, cfg, unroll=unroll,
-                 track_best=True).best_th
-    return select_best(spec, robot, th, sdf_t, restarts, b,
-                       contact_weight=contact_weight)
+    staged = prune_iters > 0 or keep > 0
+    if staged and not (
+        0 < prune_iters < cfg.max_iters and 0 < keep <= restarts
+    ):
+        raise ValueError(
+            f"staged pruning needs 0 < prune_iters < max_iters and "
+            f"0 < keep <= restarts; got prune_iters={prune_iters}, "
+            f"max_iters={cfg.max_iters}, keep={keep}, restarts={restarts}"
+        )
+
+    if not staged:
+        th = gn.plan(spec, robot, params_t, th0s, sdf_t, cfg, unroll=unroll,
+                     track_best=True).best_th
+        return select_best(spec, robot, th, sdf_t, restarts, b,
+                           contact_weight=contact_weight)
+
+    # Phase 1: all K seeds, prune_iters iterations.
+    res1 = gn.plan(spec, robot, params_t, th0s, sdf_t,
+                   dataclasses.replace(cfg, max_iters=prune_iters), unroll=unroll,
+                   track_best=True)
+    score1, _ = score_candidates(spec, robot, res1.best_th, sdf_t,
+                                 contact_weight)
+    # Per-problem top-`keep` (lowest score): (K, B) -> idx (B, keep).
+    _, idx = jax.lax.top_k(-score1.reshape(restarts, b).T, keep)
+
+    def gather(th_kb_flat):
+        th_bk = th_kb_flat.reshape(restarts, b, *th_kb_flat.shape[1:])
+        th_bk = jnp.moveaxis(th_bk, 0, 1)  # (B, K, T+1, D)
+        kept = jnp.take_along_axis(th_bk, idx[:, :, None, None], axis=1)
+        return jnp.moveaxis(kept, 0, 1).reshape(  # back to keep-major
+            keep * b, *th_kb_flat.shape[1:]
+        )
+
+    # Phase 2: survivors resume from their phase-1 FINAL iterate.
+    sdf_k = jnp.tile(sdf, (keep, 1, 1))
+    res2 = gn.plan(
+        spec, robot, tile_params(params, b, keep), gather(res1.th), sdf_k,
+        dataclasses.replace(cfg, max_iters=cfg.max_iters - prune_iters), unroll=unroll,
+        track_best=True,
+    )
+    # Select over each survivor's phase-1 best AND phase-2 best.
+    pool = jnp.concatenate([gather(res1.best_th), res2.best_th], axis=0)
+    return select_best(spec, robot, pool, jnp.tile(sdf, (2 * keep, 1, 1)),
+                       2 * keep, b, contact_weight=contact_weight)
 
 
 def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6):

@@ -297,7 +297,8 @@ class GPMP2Planner:
         )
 
     def plan_multistart(self, startb, goalb, th_initb, sdfb,
-                        optim_params=None, restarts=8, amp=1.5, seed=0):
+                        optim_params=None, restarts=8, amp=1.5, seed=0,
+                        prune_iters=0, keep=0):
         """Batched multi-start plan: ``restarts`` endpoint-preserving seed
         perturbations per problem, planned as one (K·B)-batch and selected
         per problem (contact-free first, then smoothness) — see
@@ -305,6 +306,11 @@ class GPMP2Planner:
         Gauss-Newton basins on dense clutter (contact_free 0.32 → 0.85 on
         the forest family, PERFORMANCE.md); the reference's per-problem
         loop (``gpmp2_planner.py:62``) would pay K× wall-clock for this.
+
+        ``prune_iters``/``keep`` enable staged pruning — plan all K seeds
+        for ``prune_iters`` iterations, finish only the best ``keep`` per
+        problem (K-seed coverage at ~keep-seed cost; see
+        :func:`dgpmp2_tpu.core.multistart.plan_multistart`).
 
         Returns a :class:`~dgpmp2_tpu.core.multistart.MultistartResult`.
         """
@@ -325,6 +331,7 @@ class GPMP2Planner:
             self.spec, self.robot, params,
             jnp.asarray(th_initb, self.dtype), jnp.asarray(sdfb, self.dtype),
             cfg, jax.random.PRNGKey(seed), restarts=restarts, amp=amp,
+            prune_iters=prune_iters, keep=keep,
         )
 
     def plan_batch(self, startb, goalb, th_initb, sdfb, optim_params=None):

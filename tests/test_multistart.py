@@ -101,6 +101,45 @@ def test_select_best_picks_argmin_per_problem():
             float(np.asarray(contact).reshape(k, b)[expect_k[i], i]) <= 0.0)
 
 
+def test_plan_multistart_staged_pruning():
+    """Staged pruning (plan all K for a few iters, finish only the top
+    `keep`): on the blocked world it preserves the multi-start win at a
+    fraction of the full-pool cost, and validates its arguments."""
+    import pytest
+
+    params, th0, sdf = _problem()
+    cfg = gn.OptimConfig(reg=0.1, max_iters=25)
+    run = jax.jit(
+        lambda p, th, s, rng, k, pi, kp: plan_multistart(
+            SPEC, ROBOT, p, th, s, cfg, rng, restarts=k, amp=2.0,
+            prune_iters=pi, keep=kp,
+        ),
+        static_argnames=("k", "pi", "kp"),
+    )
+    full = run(params, th0, sdf, jax.random.PRNGKey(3), 12, 0, 0)
+    staged = run(params, th0, sdf, jax.random.PRNGKey(3), 12, 6, 3)
+    base = run(params, th0, sdf, jax.random.PRNGKey(3), 1, 0, 0)
+    assert np.all(np.isfinite(np.asarray(staged.th)))
+    # same seeds: staged keeps the full pool's contact-free coverage here
+    assert int(np.sum(np.asarray(staged.contact_free))) >= int(
+        np.sum(np.asarray(base.contact_free)))
+    assert int(np.sum(np.asarray(staged.contact_free))) == int(
+        np.sum(np.asarray(full.contact_free)))
+    # keep == restarts (no pruning pressure): pool is a superset of every
+    # candidate's best iterate, so the score can only match or improve
+    all_kept = run(params, th0, sdf, jax.random.PRNGKey(3), 12, 6, 12)
+    assert np.all(np.asarray(all_kept.score)
+                  <= np.asarray(full.score) + 1e-9)
+    with pytest.raises(ValueError):
+        plan_multistart(SPEC, ROBOT, params, th0, sdf, cfg,
+                        jax.random.PRNGKey(0), restarts=4, prune_iters=30,
+                        keep=2)
+    with pytest.raises(ValueError):
+        plan_multistart(SPEC, ROBOT, params, th0, sdf, cfg,
+                        jax.random.PRNGKey(0), restarts=4, prune_iters=5,
+                        keep=9)
+
+
 def test_plan_multistart_improves_on_clutter():
     """On the blocked world, multi-start finds contact-free trajectories
     where the straight seed's basin does not, and never selects a worse
