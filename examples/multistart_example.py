@@ -56,8 +56,13 @@ op = {"method": "gauss_newton", "max_iters": 40, "reg": 0.1}
 out1 = planner.plan_multistart(start, goal, th0, sdfb, op, restarts=1)
 outk = planner.plan_multistart(start, goal, th0, sdfb, op, restarts=16,
                                amp=1.5)
+# Staged pruning: all 16 seeds explored for 8 iterations, only the best 4
+# finished — ~2x cheaper with the same coverage (PERFORMANCE.md).
+outs = planner.plan_multistart(start, goal, th0, sdfb, op, restarts=16,
+                               amp=1.5, prune_iters=8, keep=4)
 print("contact-free (restart 0 only):", np.asarray(out1.contact_free))
 print("contact-free (16 restarts)   :", np.asarray(outk.contact_free))
+print("contact-free (staged, keep 4):", np.asarray(outs.contact_free))
 print("winning restart per problem  :", np.asarray(outk.k_best))
 
 # Plot the first problem the single seed fails but multi-start solves.

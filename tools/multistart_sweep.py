@@ -43,7 +43,8 @@ from dgpmp2_tpu.utils.trajectory import straight_line_traj
 from learned_campaign import COV, SIGMAS, CONFIGS, make_planner
 
 
-def eval_family(root, spec, robot, K, amp, batch_size, seed):
+def eval_family(root, spec, robot, K, amp, batch_size, seed,
+                prune_iters=0, keep=0):
     test_ds = ds.PlanningDataset(root, mode="test",
                                  label_subdir="opt_trajs_gpmp2")
     n = len(test_ds) - len(test_ds) % batch_size
@@ -55,7 +56,8 @@ def eval_family(root, spec, robot, K, amp, batch_size, seed):
     cfg = gn.OptimConfig(reg=0.1, max_iters=50)
     plan_jit = jax.jit(
         lambda p, th0, s, rng: plan_multistart(
-            spec, robot, p, th0, s, cfg, rng, restarts=K, amp=amp
+            spec, robot, p, th0, s, cfg, rng, restarts=K, amp=amp,
+            prune_iters=prune_iters, keep=keep,
         ).th
     )
     rows = {}
@@ -141,6 +143,10 @@ def main(argv=None):
     p.add_argument("--amp", type=float, default=1.5)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prune_iters", type=int, default=0,
+                   help="staged pruning: phase-1 iterations (static sweep only)")
+    p.add_argument("--keep", type=int, default=0,
+                   help="staged pruning: survivors per problem (static sweep only)")
     p.add_argument("--cov_model", default=None,
                    help="<config>:<vars.npz> learned covariance model to "
                         "compose with multi-start seeds")
@@ -164,7 +170,8 @@ def main(argv=None):
             print(f"[{fam}] K={args.restarts} sigma sweep", flush=True)
             t0 = time.time()
             rows = eval_family(root, spec, robot, args.restarts, args.amp,
-                               args.batch, args.seed)
+                               args.batch, args.seed,
+                               args.prune_iters, args.keep)
             best_solve = max(rows.values(),
                              key=lambda m: (m["solve_rate"],
                                             m["contact_free_rate"]))
