@@ -399,6 +399,8 @@ class LearnedDiffGPMP2Planner:
         harmonics: int = 3,
         max_iters: Optional[int] = None,
         contact_weight: float = 1e6,
+        prune_iters: int = 0,
+        keep: int = 0,
     ):
         """Learned covariances composed with batched multi-start seeding:
         plan ``restarts`` endpoint-preserving perturbations of every seed
@@ -414,11 +416,26 @@ class LearnedDiffGPMP2Planner:
         The reference has neither: its planner loops problems serially
         (``diff_gpmp2_planner.py:92-174``).
 
+        ``prune_iters``/``keep`` enable staged pruning (same contract as
+        :func:`dgpmp2_tpu.core.multistart.plan_multistart`): all K seeds
+        are planned for ``prune_iters`` iterations, only the ``keep`` best
+        candidates per problem finish, resuming from their phase-1 final
+        iterate with their recurrent carry (when the head is recurrent).
+
         Returns a :class:`~dgpmp2_tpu.core.multistart.MultistartResult`.
         """
         from dgpmp2_tpu.core.multistart import (
-            perturbed_inits, select_best, tile_params,
+            perturbed_inits, score_candidates, select_best, tile_params,
         )
+
+        iters = max_iters or self.cfg.max_iters
+        staged = prune_iters > 0 or keep > 0
+        if staged and not (0 < prune_iters < iters and 0 < keep <= restarts):
+            raise ValueError(
+                f"staged pruning needs 0 < prune_iters < max_iters and "
+                f"0 < keep <= restarts; got prune_iters={prune_iters}, "
+                f"max_iters={iters}, keep={keep}, restarts={restarts}"
+            )
 
         b = th_init.shape[0]
         th0s = perturbed_inits(th_init, rng, restarts, amp,
@@ -427,11 +444,42 @@ class LearnedDiffGPMP2Planner:
         sdf_t = jnp.tile(sdf, (restarts, 1, 1))
         im_t = jnp.tile(im, (restarts, 1, 1))
         params_t = tile_params(params_fix, b, restarts)
-        th, _, _, _ = self.plan(
-            variables, params_t, th0s, sdf_t, im_t, max_iters=max_iters,
-            track_best=True,
+
+        if not staged:
+            th, _, _, _ = self.plan(
+                variables, params_t, th0s, sdf_t, im_t, max_iters=iters,
+                track_best=True,
+            )
+            return select_best(self.spec, self.robot, th, sdf_t, restarts,
+                               b, contact_weight=contact_weight)
+
+        # Phase 1: all K seeds, final iterates (the resume points).
+        th1, _, _, hidden1 = self.plan(
+            variables, params_t, th0s, sdf_t, im_t, max_iters=prune_iters,
         )
-        return select_best(self.spec, self.robot, th, sdf_t, restarts, b,
+        score1, _ = score_candidates(self.spec, self.robot, th1, sdf_t,
+                                     contact_weight)
+        _, idx = jax.lax.top_k(-score1.reshape(restarts, b).T, keep)
+
+        def gather(x):
+            xb = jnp.moveaxis(
+                x.reshape(restarts, b, *x.shape[1:]), 0, 1
+            )  # (B, K, ...)
+            ix = idx.reshape(idx.shape + (1,) * (xb.ndim - 2))
+            kept = jnp.take_along_axis(xb, ix, axis=1)
+            return jnp.moveaxis(kept, 0, 1).reshape(keep * b, *x.shape[1:])
+
+        sdf_k = jnp.tile(sdf, (keep, 1, 1))
+        th2, _, _, _ = self.plan(
+            variables, tile_params(params_fix, b, keep), gather(th1), sdf_k,
+            jnp.tile(im, (keep, 1, 1)),
+            max_iters=iters - prune_iters, track_best=True,
+            hidden=jax.tree.map(gather, hidden1),
+        )
+        # Select over each survivor's phase-1 final AND phase-2 best.
+        pool = jnp.concatenate([gather(th1), th2], axis=0)
+        return select_best(self.spec, self.robot, pool,
+                           jnp.tile(sdf, (2 * keep, 1, 1)), 2 * keep, b,
                            contact_weight=contact_weight)
 
 

@@ -165,6 +165,39 @@ def test_learned_plan_multistart_composes():
                                rtol=1e-5)
 
 
+@pytest.mark.parametrize("model_type", ["feed_forward", "rnn_lstm"])
+def test_learned_plan_multistart_staged(model_type):
+    """Staged pruning on the learned planner: runs for both head types
+    (the recurrent carry is gathered with the survivors), validates args,
+    and keeps finite per-problem winners."""
+    from dgpmp2_tpu.core.multistart import MultistartResult
+
+    planner = _make_planner(model_type)
+    batch = _toy_batch()
+    rng = jax.random.PRNGKey(4)
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    th0 = batch["th_opt"]
+    variables = planner.init_variables(rng, im_stack, th0)
+    params_fix = graph.default_params(
+        SPEC, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+    out = planner.plan_multistart(
+        variables, params_fix, th0, batch["sdf"], batch["im"],
+        jax.random.PRNGKey(5), restarts=4, amp=1.0, max_iters=6,
+        prune_iters=3, keep=2,
+    )
+    assert isinstance(out, MultistartResult)
+    assert out.th.shape == th0.shape
+    assert np.all(np.isfinite(np.asarray(out.th)))
+    with pytest.raises(ValueError):
+        planner.plan_multistart(
+            variables, params_fix, th0, batch["sdf"], batch["im"],
+            jax.random.PRNGKey(5), restarts=4, max_iters=6, prune_iters=9,
+            keep=2,
+        )
+
+
 @pytest.mark.slow
 def test_train_step_decreases_loss():
     planner = _make_planner()
