@@ -101,7 +101,7 @@ def load_batches(root, batch_size):
 
 
 def eval_family_learned_ms(root, planner, variables, K, amp, batch_size,
-                           seed):
+                           seed, prune_iters=0, keep=0):
     """Learned-covariance planner composed with multi-start seeds: the
     (K·B)-tiled batch goes through LearnedDiffGPMP2Planner.plan (the
     covariance head predicts per candidate), selection via
@@ -111,6 +111,7 @@ def eval_family_learned_ms(root, planner, variables, K, amp, batch_size,
     ms_jit = jax.jit(
         lambda v, p, th0, s, im, rng: planner.plan_multistart(
             v, p, th0, s, im, rng, restarts=K, amp=amp, max_iters=50,
+            prune_iters=prune_iters, keep=keep,
         )
     )
     all_m = []
@@ -144,9 +145,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prune_iters", type=int, default=0,
-                   help="staged pruning: phase-1 iterations (static sweep only)")
+                   help="staged pruning: phase-1 iterations")
     p.add_argument("--keep", type=int, default=0,
-                   help="staged pruning: survivors per problem (static sweep only)")
+                   help="staged pruning: survivors per problem")
     p.add_argument("--cov_model", default=None,
                    help="<config>:<vars.npz> learned covariance model to "
                         "compose with multi-start seeds")
@@ -205,7 +206,8 @@ def main(argv=None):
             t0 = time.time()
             m = eval_family_learned_ms(root, planner, variables,
                                        args.restarts, args.amp, args.batch,
-                                       args.seed)
+                                       args.seed, args.prune_iters,
+                                       args.keep)
             results.setdefault(fam, {})[f"{cname}_ms{args.restarts}"] = m
             print(f"[{fam}] {cname}+ms{args.restarts}: solve_rate="
                   f"{m['solve_rate']:.3f} contact_free="
