@@ -96,6 +96,41 @@ def test_arm_plans_around_obstacle():
                                np.asarray(start[0, :2]), atol=1e-2)
 
 
+def test_arm_multistart():
+    """Multi-start composes with articulated robots: seeds perturb JOINT
+    trajectories (endpoint-exact), scoring runs through the arm's FK and
+    per-sphere radii, and selection never does worse than restart 0."""
+    from dgpmp2_tpu.core.multistart import plan_multistart
+
+    spec = graph.GraphSpec(total_time_step=24, nlinks=ARM.nlinks)
+    img = np.ones((64, 64))
+    img[14:26, 40:52] = 0.0
+    sdf = sdf_ops.sdf_from_occupancy(jnp.asarray(img), res=10 / 64)
+    start = jnp.asarray([[-0.5, 0.4, 0.0, 0.0]])
+    goal = jnp.asarray([[1.6, 0.4, 0.0, 0.0]])
+    params = graph.default_params(
+        spec, ARM, start, goal, qc_inv=np.eye(2), cost_sigma=0.05,
+        epsilon_dist=0.2, k_s=0.01, k_g=0.01, dtype=jnp.float64,
+    )
+    th0 = straight_line_traj(start[:, :2], goal[:, :2], 10.0, 24)
+    cfg = gn.OptimConfig(reg=0.1, max_iters=30)
+    out1 = plan_multistart(spec, ARM, params, th0, sdf[None], cfg,
+                           jax.random.PRNGKey(0), restarts=1)
+    outk = plan_multistart(spec, ARM, params, th0, sdf[None], cfg,
+                           jax.random.PRNGKey(0), restarts=6, amp=0.8)
+    assert outk.th.shape == th0.shape
+    assert np.all(np.isfinite(np.asarray(outk.th)))
+    # restart 0 is in the full pool: selection never worse than K=1
+    assert np.all(np.asarray(outk.score) <= np.asarray(out1.score) + 1e-9)
+    np.testing.assert_allclose(np.asarray(outk.th[0, 0, :2]),
+                               np.asarray(start[0, :2]), atol=1e-2)
+    # staged pruning runs through the arm stack too
+    outs = plan_multistart(spec, ARM, params, th0, sdf[None], cfg,
+                           jax.random.PRNGKey(0), restarts=6, amp=0.8,
+                           prune_iters=10, keep=3)
+    assert np.all(np.isfinite(np.asarray(outs.th)))
+
+
 # --- PlanarArmNLink ---------------------------------------------------------
 
 from dgpmp2_tpu.robots import PlanarArmNLink, make_robot  # noqa: E402
