@@ -34,7 +34,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from dgpmp2_tpu.core import gn
+from dgpmp2_tpu.core import factors, gn
 from dgpmp2_tpu.core import graph as graph_lib
 from dgpmp2_tpu.ops import sdf as sdf_ops
 
@@ -68,6 +68,11 @@ def perturbed_inits(
     a = a.at[0].set(0.0)
     dpos = jnp.einsum("kbhd,ht->kbtd", a, basis)
     dvel = jnp.einsum("kbhd,ht->kbtd", a, dbasis)
+    # The sine basis vanishes at the endpoints but its derivative does not
+    # (d/ds sin(hπs) = hπ·cos(hπs) ≠ 0 at s ∈ {0,1}) — pin the endpoint
+    # velocity rows so every seed keeps the FULL boundary state (position
+    # AND velocity) exactly, as the module contract promises.
+    dvel = dvel.at[:, :, 0, :].set(0.0).at[:, :, -1, :].set(0.0)
     return jnp.concatenate(
         [th0[None, ..., :dof] + dpos, th0[None, ..., dof:] + dvel], axis=-1
     )
@@ -76,7 +81,11 @@ def perturbed_inits(
 class MultistartResult(NamedTuple):
     th: jnp.ndarray        # (B, T+1, D) selected trajectories
     score: jnp.ndarray     # (B,) selected score (lower is better)
-    k_best: jnp.ndarray    # (B,) index of the winning restart
+    # (B,) index of the winning candidate.  Full pool: the restart index
+    # (0 = unperturbed base).  Staged pruning: the index into the 2·keep
+    # selection pool (phase-1/phase-2 best of the per-problem survivors,
+    # whose order is the top-k permutation) — NOT an original restart.
+    k_best: jnp.ndarray
     contact_free: jnp.ndarray  # (B,) bool: selected traj clears the radius
 
 
@@ -183,20 +192,46 @@ def plan_multistart(
 
 def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6):
     """(N, T+1, D) candidates against (N, H, W) SDFs -> (score (N,),
-    contact (N,)): contact depth dominates, smoothness breaks ties."""
-    res = (spec.x_lims[1] - spec.x_lims[0]) / sdf.shape[-1]
+    contact (N,)): contact depth dominates, smoothness breaks ties.
+
+    Uses the backend-dispatched SDF lookup (the raw gather path costs
+    ~5 ms at B=1024 on a v5e vs ~0.7 ms dispatched; ``ops/sdf.py``).
+    When ``spec.use_gp_inter`` is on, contact also covers the
+    GP-interpolated states — the same dense checks the planner's own
+    best-iterate criterion requires, so selection cannot prefer a
+    candidate that threads an obstacle between support states.  A
+    diverged candidate (NaN trajectory) scores +inf and can never win.
+    """
+    res = spec.res(sdf.shape[-1])
     centers, _ = robot.fk(th)  # (N, T+1, L, 2)
     n, t1, l, _ = centers.shape
-    d, _ = sdf_ops.bilinear_lookup(
-        sdf, centers.reshape(n, t1 * l, 2), res, spec.x_lims, spec.y_lims
-    )
+    n_sup = t1 * l
+    pts = centers.reshape(n, n_sup, 2)
+    if spec.use_gp_inter:
+        lam, psi = factors.gp_interp_coeffs(spec.dof, spec.dt,
+                                            spec.num_inter, th.dtype)
+        centers_i, _ = robot.fk(factors.gp_interpolate(th, lam, psi))
+        pts = jnp.concatenate([pts, centers_i.reshape(n, -1, 2)], axis=-2)
+    d, _ = sdf_ops.lookup(sdf, pts, res, spec.x_lims, spec.y_lims)
+    radii = robot.radii_array(th.dtype)
     pen = jnp.maximum(
-        robot.radii_array(th.dtype)[None, None, :] - d.reshape(n, t1, l), 0.0
+        radii[None, None, :] - d[..., :n_sup].reshape(n, t1, l), 0.0
     )
     contact = jnp.sum(pen[:, 1:-1, :], axis=(-2, -1))
+    if spec.use_gp_inter:
+        pen_i = jnp.maximum(
+            radii[None, None, None, :]
+            - d[..., n_sup:].reshape(n, spec.num_gp_factors,
+                                     spec.num_inter, l),
+            0.0,
+        )
+        contact = contact + jnp.sum(pen_i, axis=(-3, -2, -1))
     vel = th[..., spec.dof:]
     smooth = jnp.mean(jnp.sum(jnp.diff(vel, axis=-2) ** 2, -1), -1)
-    return contact * contact_weight + smooth, contact
+    score = contact * contact_weight + smooth
+    # NaN-safe: argmin/top_k would otherwise propagate a diverged seed's
+    # NaN over every valid candidate.
+    return jnp.where(jnp.isnan(score), jnp.inf, score), contact
 
 
 def select_best(spec, robot, th, sdf_t, restarts: int, b: int,

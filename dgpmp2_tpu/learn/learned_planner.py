@@ -319,6 +319,7 @@ class LearnedDiffGPMP2Planner:
         max_iters: Optional[int] = None,
         hidden=None,
         track_best: bool = False,
+        return_final: bool = False,
     ):
         """Full unrolled learned plan: covariances re-predicted every GN
         iteration (``diff_gpmp2_planner.py:104-166``), compiled as one scan.
@@ -328,6 +329,10 @@ class LearnedDiffGPMP2Planner:
         ``test_planner.py:253-262``) instead of the final trajectory —
         judged under the FIXED external covariances ``params_fix`` so the
         learned weights cannot game the selection.
+
+        ``return_final`` appends the FINAL iterate as a fifth return value
+        (the resume point for staged multi-start, distinct from the
+        tracked-best ``th`` when ``track_best`` is on).
         """
         iters = max_iters or self.cfg.max_iters
         im_stack = self.stack_inputs(im, sdf)
@@ -381,9 +386,12 @@ class LearnedDiffGPMP2Planner:
             body, (th_init, hidden, jnp.zeros_like(th_init), best0), None,
             length=iters,
         )
+        th_final = th
         if track_best:
             best_th, best_s = best
             th = jnp.where(jnp.isfinite(best_s)[:, None, None], best_th, th)
+        if return_final:
+            return th, errs, errs_ext, hidden, th_final
         return th, errs, errs_ext, hidden
 
     def plan_multistart(
@@ -418,9 +426,16 @@ class LearnedDiffGPMP2Planner:
 
         ``prune_iters``/``keep`` enable staged pruning (same contract as
         :func:`dgpmp2_tpu.core.multistart.plan_multistart`): all K seeds
-        are planned for ``prune_iters`` iterations, only the ``keep`` best
-        candidates per problem finish, resuming from their phase-1 final
-        iterate with their recurrent carry (when the head is recurrent).
+        are planned for ``prune_iters`` iterations, candidates are ranked
+        by their phase-1 TRACKED-BEST iterate, and only the ``keep`` best
+        per problem finish — resuming from their phase-1 final iterate
+        with their recurrent carry (when the head is recurrent).  The
+        final selection pools each survivor's phase-1 best and phase-2
+        best, so pruning never discards a kept candidate's early winner.
+        Known deviation for ``dtheta_predict`` heads: the previous-update
+        input resets to zero at the phase boundary (the scan's carry
+        convention), so staged results differ slightly from an
+        uninterrupted unroll there.
 
         Returns a :class:`~dgpmp2_tpu.core.multistart.MultistartResult`.
         """
@@ -453,11 +468,14 @@ class LearnedDiffGPMP2Planner:
             return select_best(self.spec, self.robot, th, sdf_t, restarts,
                                b, contact_weight=contact_weight)
 
-        # Phase 1: all K seeds, final iterates (the resume points).
-        th1, _, _, hidden1 = self.plan(
+        # Phase 1: all K seeds — tracked-best iterates rank the candidates
+        # (and enter the selection pool); final iterates are the resume
+        # points.
+        best1, _, _, hidden1, th1 = self.plan(
             variables, params_t, th0s, sdf_t, im_t, max_iters=prune_iters,
+            track_best=True, return_final=True,
         )
-        score1, _ = score_candidates(self.spec, self.robot, th1, sdf_t,
+        score1, _ = score_candidates(self.spec, self.robot, best1, sdf_t,
                                      contact_weight)
         _, idx = jax.lax.top_k(-score1.reshape(restarts, b).T, keep)
 
@@ -476,8 +494,8 @@ class LearnedDiffGPMP2Planner:
             max_iters=iters - prune_iters, track_best=True,
             hidden=jax.tree.map(gather, hidden1),
         )
-        # Select over each survivor's phase-1 final AND phase-2 best.
-        pool = jnp.concatenate([gather(th1), th2], axis=0)
+        # Select over each survivor's phase-1 best AND phase-2 best.
+        pool = jnp.concatenate([gather(best1), th2], axis=0)
         return select_best(self.spec, self.robot, pool,
                            jnp.tile(sdf, (2 * keep, 1, 1)), 2 * keep, b,
                            contact_weight=contact_weight)

@@ -56,12 +56,13 @@ def test_perturbed_inits_base_and_endpoints():
                             SPEC.total_time_sec)
     assert seeds.shape == (6, *th0.shape)
     np.testing.assert_allclose(np.asarray(seeds[0]), np.asarray(th0))
-    np.testing.assert_allclose(np.asarray(seeds[:, :, 0, :2]),
-                               np.asarray(jnp.broadcast_to(th0[:, 0, :2],
-                                                           (6, *th0[:, 0, :2].shape))))
-    np.testing.assert_allclose(np.asarray(seeds[:, :, -1, :2]),
-                               np.asarray(jnp.broadcast_to(th0[:, -1, :2],
-                                                           (6, *th0[:, -1, :2].shape))))
+    # FULL endpoint states: positions and velocities both exact.
+    np.testing.assert_allclose(np.asarray(seeds[:, :, 0, :]),
+                               np.asarray(jnp.broadcast_to(th0[:, 0, :],
+                                                           (6, *th0[:, 0, :].shape))))
+    np.testing.assert_allclose(np.asarray(seeds[:, :, -1, :]),
+                               np.asarray(jnp.broadcast_to(th0[:, -1, :],
+                                                           (6, *th0[:, -1, :].shape))))
     # restarts differ from the base in the interior
     assert float(jnp.max(jnp.abs(seeds[1] - th0))) > 0.1
 
@@ -99,6 +100,49 @@ def test_select_best_picks_argmin_per_problem():
             np.asarray(out.th[i]), np.asarray(seeds[expect_k[i], i]))
         assert bool(out.contact_free[i]) == (
             float(np.asarray(contact).reshape(k, b)[expect_k[i], i]) <= 0.0)
+
+
+def test_score_candidates_nan_candidate_never_wins():
+    """A diverged (NaN) candidate scores +inf and select_best picks the
+    valid one — NaNs must not propagate through argmin/top_k."""
+    params, th0, sdf = _problem(b=2)
+    seeds = perturbed_inits(th0, jax.random.PRNGKey(2), 2, 1.0,
+                            SPEC.total_time_sec)
+    seeds = seeds.at[1].set(jnp.nan)  # restart 1 "diverged"
+    th = seeds.reshape(4, *seeds.shape[2:])
+    sdf_t = jnp.tile(sdf, (2, 1, 1))
+    score, _ = score_candidates(SPEC, ROBOT, th, sdf_t)
+    assert np.all(np.isfinite(np.asarray(score)[:2]))
+    assert np.all(np.isposinf(np.asarray(score)[2:]))
+    out = select_best(SPEC, ROBOT, th, sdf_t, 2, 2)
+    assert np.all(np.asarray(out.k_best) == 0)
+    assert np.all(np.isfinite(np.asarray(out.th)))
+
+
+def test_score_candidates_gp_inter_catches_threading():
+    """With spec.use_gp_inter, scoring checks the GP-interpolated states:
+    a trajectory whose support states straddle a thin wall scores clean
+    under the support-only spec but contacting under the dense spec."""
+    spec_plain = graph.GraphSpec(total_time_step=7)
+    spec_dense = graph.GraphSpec(total_time_step=7, use_gp_inter=True,
+                                 num_inter=3)
+    # Thin vertical wall (one pixel, ~0.16 m) at x ~ -0.08, full height.
+    imsize = 64
+    img = np.ones((imsize, imsize))
+    img[:, 31:32] = 0.0
+    sdf1 = sdf_ops.sdf_from_occupancy(jnp.asarray(img, jnp.float64),
+                                      res=10.0 / imsize)
+    # 8 support states at wall_center ± 0.5, ±1.5, ... (0.42 m clearance >
+    # the 0.4 robot radius, and no state on the wall); the
+    # GP-interpolated states between the inner pair land on it.
+    xs = -0.078 + jnp.linspace(-3.5, 3.5, 8)
+    th = jnp.zeros((1, 8, 4), jnp.float64)
+    th = th.at[0, :, 0].set(xs).at[0, :, 2].set(1.0)
+    sdf_b = sdf1[None]
+    _, contact_plain = score_candidates(spec_plain, ROBOT, th, sdf_b)
+    _, contact_dense = score_candidates(spec_dense, ROBOT, th, sdf_b)
+    assert float(contact_plain[0]) == 0.0
+    assert float(contact_dense[0]) > 0.0
 
 
 def test_plan_multistart_staged_pruning():

@@ -43,16 +43,22 @@ from dgpmp2_tpu.utils.trajectory import straight_line_traj
 from learned_campaign import COV, SIGMAS, CONFIGS, make_planner
 
 
-def eval_family(root, spec, robot, K, amp, batch_size, seed,
-                prune_iters=0, keep=0):
+def load_batches(root, batch_size, limit=None):
     test_ds = ds.PlanningDataset(root, mode="test",
                                  label_subdir="opt_trajs_gpmp2")
     n = len(test_ds) - len(test_ds) % batch_size
-    batches = [
+    if limit is not None:
+        n = min(n, limit)
+    return [
         {k: jnp.asarray(v) for k, v in b.items()}
         for b in ds.as_batches(test_ds, np.arange(n), batch_size,
                                drop_remainder=True)
     ]
+
+
+def eval_family(root, spec, robot, K, amp, batch_size, seed,
+                prune_iters=0, keep=0):
+    batches = load_batches(root, batch_size)
     cfg = gn.OptimConfig(reg=0.1, max_iters=50)
     plan_jit = jax.jit(
         lambda p, th0, s, rng: plan_multistart(
@@ -87,17 +93,6 @@ def eval_family(root, spec, robot, K, amp, batch_size, seed,
         print(f"  sigma={sigma}: solve_rate={m['solve_rate']:.3f} "
               f"contact_free={m['contact_free_rate']:.3f}", flush=True)
     return rows
-
-
-def load_batches(root, batch_size):
-    test_ds = ds.PlanningDataset(root, mode="test",
-                                 label_subdir="opt_trajs_gpmp2")
-    n = len(test_ds) - len(test_ds) % batch_size
-    return [
-        {k: jnp.asarray(v) for k, v in b.items()}
-        for b in ds.as_batches(test_ds, np.arange(n), batch_size,
-                               drop_remainder=True)
-    ]
 
 
 def eval_family_learned_ms(root, planner, variables, K, amp, batch_size,
@@ -191,7 +186,7 @@ def main(argv=None):
         cname, vpath = args.cov_model.split(":", 1)
         planner = make_planner(args.t, CONFIGS[cname][1])
         root0 = os.path.join(args.data_root, f"data_{args.families[0]}")
-        b0 = load_batches(root0, args.batch)[0]
+        b0 = load_batches(root0, args.batch, limit=args.batch)[0]
         tmpl = planner.init_variables(
             jax.random.PRNGKey(0),
             planner.stack_inputs(b0["im"], b0["sdf"]), b0["th_opt"],
@@ -208,7 +203,10 @@ def main(argv=None):
                                        args.restarts, args.amp, args.batch,
                                        args.seed, args.prune_iters,
                                        args.keep)
-            results.setdefault(fam, {})[f"{cname}_ms{args.restarts}"] = m
+            key = f"{cname}_ms{args.restarts}"
+            if args.keep:
+                key += f"_p{args.prune_iters}k{args.keep}"
+            results.setdefault(fam, {})[key] = m
             print(f"[{fam}] {cname}+ms{args.restarts}: solve_rate="
                   f"{m['solve_rate']:.3f} contact_free="
                   f"{m['contact_free_rate']:.3f} in {time.time() - t0:.0f}s",
@@ -224,8 +222,10 @@ def main(argv=None):
              "learned+ms contact_free |", "|---|---|---|---|---|---|"]
     for fam, r in results.items():
         bs, bc = r.get("best_solve"), r.get("best_contact_free")
-        lm = next((v for k, v in r.items() if k.endswith(
-            f"_ms{args.restarts}")), None)
+        suffix = f"_ms{args.restarts}"
+        if args.keep:
+            suffix += f"_p{args.prune_iters}k{args.keep}"
+        lm = next((v for k, v in r.items() if k.endswith(suffix)), None)
         lines.append(
             f"| {fam} | "
             + (f"{bs['solve_rate']:.4f} | {bs['contact_free_rate']:.4f} | "
