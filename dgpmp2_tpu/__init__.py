@@ -8,6 +8,10 @@ mhmukadam/dgpmp2 (PyTorch); design blueprint: SURVEY.md.
 """
 from dgpmp2_tpu.core.graph import GraphSpec, GraphParams
 from dgpmp2_tpu.core.gn import OptimConfig, gn_step, plan
+from dgpmp2_tpu.core.multistart import (
+    MultistartResult, perturbed_inits, plan_multistart, score_candidates,
+    select_best,
+)
 from dgpmp2_tpu.envs import Env2D
 from dgpmp2_tpu.planner import DiffGPMP2Planner, GPMP2Planner
 from dgpmp2_tpu.robots import (
