@@ -57,7 +57,7 @@ def load_batches(root, batch_size, limit=None):
 
 
 def eval_family(root, spec, robot, K, amp, batch_size, seed,
-                prune_iters=0, keep=0):
+                prune_iters=0, keep=0, sigmas=None):
     batches = load_batches(root, batch_size)
     cfg = gn.OptimConfig(reg=0.1, max_iters=50)
     plan_jit = jax.jit(
@@ -67,7 +67,7 @@ def eval_family(root, spec, robot, K, amp, batch_size, seed,
         ).th
     )
     rows = {}
-    for sigma in SIGMAS:
+    for sigma in (SIGMAS if sigmas is None else sigmas):
         cov = dict(COV, cost_sigma=sigma)
         all_m = []
         rng = jax.random.PRNGKey(seed)
@@ -148,6 +148,9 @@ def main(argv=None):
                         "compose with multi-start seeds")
     p.add_argument("--no_static", action="store_true",
                    help="skip the static sigma sweep (learned-only pass)")
+    p.add_argument("--sigmas", nargs="+", type=float, default=None,
+                   help="restrict the static sweep to these sigmas "
+                        "(default: all nine)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -167,14 +170,16 @@ def main(argv=None):
             t0 = time.time()
             rows = eval_family(root, spec, robot, args.restarts, args.amp,
                                args.batch, args.seed,
-                               args.prune_iters, args.keep)
-            best_solve = max(rows.values(),
+                               args.prune_iters, args.keep, args.sigmas)
+            merged = dict(results.get(fam, {}).get("by_sigma", {}))
+            merged.update(rows)
+            best_solve = max(merged.values(),
                              key=lambda m: (m["solve_rate"],
                                             m["contact_free_rate"]))
-            best_cf = max(rows.values(),
+            best_cf = max(merged.values(),
                           key=lambda m: m["contact_free_rate"])
             results.setdefault(fam, {}).update(
-                by_sigma=rows, best_solve=best_solve,
+                by_sigma=merged, best_solve=best_solve,
                 best_contact_free=best_cf)
             print(f"[{fam}] best solve_rate={best_solve['solve_rate']:.3f} "
                   f"(sigma {best_solve['sigma']}), best contact_free="
