@@ -18,5 +18,6 @@ from dgpmp2_tpu.robots import (
     PlanarArm2Link, PlanarArmNLink, PointRobot2D, PointRobotXYH, RobotModel,
     make_robot,
 )
+from dgpmp2_tpu.serve import PlanningService, PlanRequest, PlanResponse
 
 __version__ = "0.2.0"
