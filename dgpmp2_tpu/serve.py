@@ -30,12 +30,13 @@ import asyncio
 import dataclasses
 import threading
 import time
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .core import graph
 from .utils.trajectory import straight_line_traj
 
 
@@ -62,6 +63,51 @@ class PlanResponse:
     iters: int
     batch_fill: float         # fraction of the dispatched batch that was real
     latency_s: float          # submit -> result, including queue wait
+
+
+class _AdapterResult(NamedTuple):
+    # a pytree (jit-returnable) mirror of gn.PlanResult's serving fields
+    th: jnp.ndarray
+    err_init: jnp.ndarray
+    err_final: jnp.ndarray
+    iters: jnp.ndarray
+
+
+class LearnedPlanningAdapter:
+    """Serve a trained ``LearnedDiffGPMP2Planner`` through
+    ``PlanningService``.
+
+    Exposes the service's planner interface (``plan(th0, start, goal,
+    sdf)`` over a leading batch axis, plus ``spec``/``dtype``): fixed
+    external GraphParams are built from each batch's (start, goal) and
+    the YAML covariance scalars, and the occupancy image the conv
+    encoder expects is derived from the SDF sign (occupied ⇔ sdf < 0),
+    so requests stay (start, goal, sdf) — identical to the static
+    service.
+    """
+
+    def __init__(self, lplanner, variables, cov_scalars: dict,
+                 track_best: bool = True, dtype=jnp.float32):
+        self.lplanner = lplanner
+        self.variables = variables
+        self.cov = dict(cov_scalars)
+        self.track_best = track_best
+        self.spec = lplanner.spec
+        self.dtype = dtype
+
+    def plan(self, th0, start, goal, sdf):
+        params = graph.default_params(
+            self.lplanner.spec, self.lplanner.robot, start, goal,
+            **self.cov, dtype=self.dtype,
+        )
+        im = (sdf > 0).astype(self.dtype)
+        th, errs, _, _ = self.lplanner.plan(
+            self.variables, params, th0, sdf, im,
+            track_best=self.track_best,
+        )
+        n_iters = jnp.full(th.shape[:1], errs.shape[0], jnp.int32)
+        return _AdapterResult(th=th, err_init=errs[0], err_final=errs[-1],
+                              iters=n_iters)
 
 
 class PlanningService:

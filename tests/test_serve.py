@@ -132,6 +132,57 @@ def test_async_coalesces_concurrent_requests(planner, world):
     assert svc.stats["requests"] == 6
 
 
+def test_learned_adapter_serves_learned_planner(world):
+    import jax
+
+    from dgpmp2_tpu.core import gn, graph
+    from dgpmp2_tpu.learn.learned_planner import (
+        LearnedDiffGPMP2Planner, LearnedPlannerConfig,
+    )
+    from dgpmp2_tpu.robots import PointRobot2D
+    from dgpmp2_tpu.serve import LearnedPlanningAdapter
+
+    spec = graph.GraphSpec(total_time_step=10)
+    lplanner = LearnedDiffGPMP2Planner(
+        spec, PointRobot2D(),
+        gn.OptimConfig(reg=0.1, max_iters=6),
+        LearnedPlannerConfig(dynamics_mode="diag_identity", hidden_dim=16),
+    )
+    world32 = np.asarray(world, np.float32)
+    cov = dict(qc_inv=np.eye(2), cost_sigma=0.1, epsilon_dist=0.4,
+               k_s=0.01, k_g=0.01)
+
+    start = np.array([-4.0, -4.0, 0.0, 0.0], np.float32)
+    goal = np.array([4.0, 4.0, 0.0, 0.0], np.float32)
+    th0 = straight_line_traj(
+        jnp.asarray(start[None, :2]), jnp.asarray(goal[None, :2]),
+        spec.total_time_sec, spec.total_time_step,
+    ).astype(jnp.float32)
+    im = (jnp.asarray(world32)[None] > 0).astype(jnp.float32)
+    variables = lplanner.init_variables(
+        jax.random.PRNGKey(0), lplanner.stack_inputs(im, world32[None]), th0
+    )
+
+    adapter = LearnedPlanningAdapter(lplanner, variables, cov)
+    svc = PlanningService(adapter, batch_size=2)
+    resp = svc.plan_batch_sync(
+        [PlanRequest(start=start, goal=goal, sdf=world32)]
+    )[0]
+
+    params = graph.default_params(spec, PointRobot2D(),
+                                  jnp.asarray(start[None]),
+                                  jnp.asarray(goal[None]), **cov,
+                                  dtype=jnp.float32)
+    th_direct, errs, _, _ = lplanner.plan(variables, params, th0,
+                                          jnp.asarray(world32[None]), im,
+                                          track_best=True)
+    # f32: the service path runs under jit, the direct call eagerly —
+    # op-ordering differences leave ~1e-5-scale noise.
+    np.testing.assert_allclose(resp.th, np.asarray(th_direct[0]), atol=1e-3)
+    assert resp.err_init == pytest.approx(float(errs[0, 0]), rel=1e-3)
+    assert resp.iters == 6
+
+
 def test_submit_before_start_raises(planner, world):
     svc = PlanningService(planner, batch_size=2)
 
