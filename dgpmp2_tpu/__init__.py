@@ -18,6 +18,8 @@ from dgpmp2_tpu.robots import (
     PlanarArm2Link, PlanarArmNLink, PointRobot2D, PointRobotXYH, RobotModel,
     make_robot,
 )
-from dgpmp2_tpu.serve import PlanningService, PlanRequest, PlanResponse
+from dgpmp2_tpu.serve import (
+    LearnedPlanningAdapter, PlanningService, PlanRequest, PlanResponse,
+)
 
 __version__ = "0.2.0"
