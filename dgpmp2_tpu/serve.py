@@ -243,14 +243,14 @@ class PlanningService:
         """Enqueue one request; resolves when its batch returns."""
         if self._queue is None:
             raise RuntimeError("service not started")
-        loop = asyncio.get_event_loop()
+        loop = asyncio.get_running_loop()
         fut = loop.create_future()
         t_submit = time.perf_counter()
         await self._queue.put((request, fut, t_submit))
         return await fut
 
     async def _dispatch_loop(self) -> None:
-        loop = asyncio.get_event_loop()
+        loop = asyncio.get_running_loop()
         while True:
             first = await self._queue.get()
             batch = [first]
