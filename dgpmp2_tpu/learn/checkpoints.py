@@ -51,6 +51,29 @@ def restore(ckpt_dir: str, template: Any, step: Optional[int] = None):
     return step, out
 
 
+def save_flat_variables(path: str, variables: Any) -> None:
+    """Export just the model variables as one flat ``.npz`` — the
+    deployment artifact format (self-contained, orbax-free load on the
+    serving side).  Leaves are stored in pytree-flatten order."""
+    flat, _ = jax.tree_util.tree_flatten(variables)
+    np.savez(path, **{f"v{i}": np.asarray(x) for i, x in enumerate(flat)})
+
+
+def load_flat_variables(path: str, template: Any):
+    """Inverse of :func:`save_flat_variables`; ``template`` supplies the
+    treedef (e.g. from ``planner.init_variables`` on a dummy batch)."""
+    import jax.numpy as jnp
+
+    loaded = np.load(path, allow_pickle=True)
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    if len(loaded.files) != len(flat):
+        raise ValueError(
+            f"{path} holds {len(loaded.files)} leaves, template has "
+            f"{len(flat)} — mismatched architecture?")
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(loaded[f"v{i}"]) for i in range(len(flat))])
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     try:
         mgr = _manager(ckpt_dir)

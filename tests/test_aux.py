@@ -55,6 +55,23 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_flat_variables_roundtrip(tmp_path):
+    from dgpmp2_tpu.learn import checkpoints
+
+    variables = {"params": {"w": jnp.arange(6.0).reshape(2, 3),
+                            "b": jnp.ones((3,))}}
+    path = str(tmp_path / "vars.npz")
+    checkpoints.save_flat_variables(path, variables)
+    template = jax.tree.map(jnp.zeros_like, variables)
+    restored = checkpoints.load_flat_variables(path, template)
+    for x, y in zip(jax.tree.leaves(variables), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # architecture mismatch is an error, not silent corruption
+    bad = {"params": {"w": jnp.zeros((2, 3))}}
+    with pytest.raises(ValueError):
+        checkpoints.load_flat_variables(path, bad)
+
+
 def test_env2d_api(tmp_path):
     import matplotlib
 

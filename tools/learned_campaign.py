@@ -38,6 +38,7 @@ import yaml
 
 from dgpmp2_tpu.core import gn, graph
 from dgpmp2_tpu.data import dataset as ds
+from dgpmp2_tpu.learn import checkpoints
 from dgpmp2_tpu.data import generate
 from dgpmp2_tpu.learn.eval import evaluate_batch, summarize
 from dgpmp2_tpu.learn.learned_planner import (
@@ -309,12 +310,8 @@ def train_config(name, w_over, lcfg_over, roots, args, out_dir):
         sample["th_opt"],
     )
     if os.path.exists(ckpt):
-        loaded = np.load(ckpt, allow_pickle=True)
-        flat, treedef = jax.tree_util.tree_flatten(state.variables)
         state = state.replace(
-            variables=jax.tree_util.tree_unflatten(
-                treedef, [jnp.asarray(loaded[f"v{i}"]) for i in range(len(flat))]
-            )
+            variables=checkpoints.load_flat_variables(ckpt, state.variables)
         )
         print(f"[train:{name}] loaded checkpoint, skipping training")
         return planner, state
@@ -351,8 +348,7 @@ def train_config(name, w_over, lcfg_over, roots, args, out_dir):
                   f"({time.time() - t0:.1f}s)")
     state = state.replace(variables=best_vars)
     print(f"[train:{name}] selected val solve_rate={best_rate:.3f}")
-    flat, _ = jax.tree_util.tree_flatten(state.variables)
-    np.savez(ckpt, **{f"v{i}": np.asarray(x) for i, x in enumerate(flat)})
+    checkpoints.save_flat_variables(ckpt, state.variables)
     with open(os.path.join(out_dir, f"{name}_train_loss.yaml"), "w") as fp:
         yaml.safe_dump(hist, fp)
     return planner, state

@@ -36,6 +36,7 @@ import yaml
 from dgpmp2_tpu.core import gn, graph
 from dgpmp2_tpu.core.multistart import plan_multistart
 from dgpmp2_tpu.data import dataset as ds
+from dgpmp2_tpu.learn import checkpoints
 from dgpmp2_tpu.learn.eval import evaluate_batch, summarize
 from dgpmp2_tpu.robots import PointRobot2D
 from dgpmp2_tpu.utils.trajectory import straight_line_traj
@@ -196,11 +197,7 @@ def main(argv=None):
             jax.random.PRNGKey(0),
             planner.stack_inputs(b0["im"], b0["sdf"]), b0["th_opt"],
         )
-        loaded = np.load(vpath, allow_pickle=True)
-        flat, treedef = jax.tree_util.tree_flatten(tmpl)
-        variables = jax.tree_util.tree_unflatten(
-            treedef, [jnp.asarray(loaded[f"v{i}"]) for i in range(len(flat))]
-        )
+        variables = checkpoints.load_flat_variables(vpath, tmpl)
         for fam in args.families:
             root = os.path.join(args.data_root, f"data_{fam}")
             t0 = time.time()
