@@ -19,7 +19,8 @@ from dgpmp2_tpu.robots import (
     make_robot,
 )
 from dgpmp2_tpu.serve import (
-    LearnedPlanningAdapter, PlanningService, PlanRequest, PlanResponse,
+    LearnedPlanningAdapter, MultistartPlanningAdapter, PlanningService,
+    PlanRequest, PlanResponse,
 )
 
 __version__ = "0.2.0"

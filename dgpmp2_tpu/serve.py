@@ -110,6 +110,60 @@ class LearnedPlanningAdapter:
                               iters=n_iters)
 
 
+class MultistartPlanningAdapter:
+    """Serve K-seed multi-start planning (``core.multistart``) through
+    ``PlanningService``: each request is planned from ``restarts``
+    perturbed seeds and the best candidate is returned.
+
+    The perturbation RNG is a fixed key (deterministic across dispatches
+    — the same request always returns the same plan, a serving-side
+    reproducibility property), and err_init/err_final are the weighted
+    factor-graph error of the seed and of the selected candidate under
+    the same fixed covariances.
+    """
+
+    def __init__(self, spec, robot, cov_scalars: dict,
+                 optim_cfg=None, restarts: int = 16, amp: float = 1.5,
+                 prune_iters: int = 0, keep: int = 0, seed: int = 0,
+                 dtype=jnp.float32):
+        from .core import gn, multistart
+
+        self._gn = gn
+        self._ms = multistart
+        self.spec = spec
+        self.robot = robot
+        self.cov = dict(cov_scalars)
+        self.cfg = optim_cfg or gn.OptimConfig(reg=0.1, max_iters=50)
+        self.restarts = restarts
+        self.amp = amp
+        self.prune_iters = prune_iters
+        self.keep = keep
+        self.rng = jax.random.PRNGKey(seed)
+        self.dtype = dtype
+
+    def _error(self, params, th, sdf):
+        res = graph.eval_residuals(self.spec, self.robot, params, th, sdf)
+        return graph.error_from_residuals(self.spec, params, res)
+
+    def plan(self, th0, start, goal, sdf):
+        params = graph.default_params(
+            self.spec, self.robot, start, goal, **self.cov,
+            dtype=self.dtype,
+        )
+        res = self._ms.plan_multistart(
+            self.spec, self.robot, params, th0, sdf, self.cfg, self.rng,
+            restarts=self.restarts, amp=self.amp,
+            prune_iters=self.prune_iters, keep=self.keep,
+        )
+        iters = jnp.full(res.th.shape[:1], self.cfg.max_iters, jnp.int32)
+        return _AdapterResult(
+            th=res.th,
+            err_init=self._error(params, th0, sdf),
+            err_final=self._error(params, res.th, sdf),
+            iters=iters,
+        )
+
+
 class PlanningService:
     """Micro-batching front end over a batched planner.
 

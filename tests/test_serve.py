@@ -183,6 +183,32 @@ def test_learned_adapter_serves_learned_planner(world):
     assert resp.iters == 6
 
 
+def test_multistart_adapter_deterministic_and_improves(world):
+    from dgpmp2_tpu.core import gn, graph
+    from dgpmp2_tpu.robots import PointRobot2D
+    from dgpmp2_tpu.serve import MultistartPlanningAdapter
+
+    spec = graph.GraphSpec(total_time_step=12)
+    adapter = MultistartPlanningAdapter(
+        spec, PointRobot2D(),
+        dict(qc_inv=np.eye(2), cost_sigma=0.1, epsilon_dist=0.4,
+             k_s=0.01, k_g=0.01),
+        optim_cfg=gn.OptimConfig(reg=0.1, max_iters=8),
+        restarts=4, dtype=jnp.float64,
+    )
+    svc = PlanningService(adapter, batch_size=2)
+    req = PlanRequest(
+        start=np.array([-4.0, -4.0, 0.0, 0.0]),
+        goal=np.array([4.0, 4.0, 0.0, 0.0]),
+        sdf=np.asarray(world),
+    )
+    r1 = svc.plan_batch_sync([req])[0]
+    r2 = svc.plan_batch_sync([req])[0]
+    np.testing.assert_array_equal(r1.th, r2.th)  # fixed-RNG serving
+    assert r1.err_final < r1.err_init
+    assert np.all(np.isfinite(r1.th))
+
+
 def test_submit_before_start_raises(planner, world):
     svc = PlanningService(planner, batch_size=2)
 
