@@ -282,7 +282,9 @@ class PlanningService:
         self._task = asyncio.ensure_future(self._dispatch_loop())
 
     async def stop(self) -> None:
-        """Drain nothing, cancel the dispatcher (pending requests error)."""
+        """Cancel the dispatcher immediately; requests still queued (not
+        yet dispatched) never resolve — call only after in-flight
+        ``submit()``s have returned (or wrap them in ``wait_for``)."""
         if self._task is None:
             return
         self._task.cancel()
