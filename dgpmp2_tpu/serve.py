@@ -222,7 +222,7 @@ class PlanningService:
         dt = self.planner.dtype
         pad = self.batch_size - n
 
-        def stack(field, template=None):
+        def stack(field):
             rows = [np.asarray(getattr(r, field)) for r in requests]
             rows += [rows[0]] * pad
             return jnp.asarray(np.stack(rows), dt)
