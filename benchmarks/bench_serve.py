@@ -69,7 +69,7 @@ def make_world():
     )
 
 
-def make_requests(world, n, seed):
+def make_requests(world, n, seed, inline_sdf=False):
     rng = np.random.default_rng(seed)
     reqs = []
     for _ in range(n):
@@ -77,16 +77,20 @@ def make_requests(world, n, seed):
         g = np.array([4.0, 4.0, 0.0, 0.0], np.float32)
         s[:2] += rng.uniform(-0.5, 0.5, 2)
         g[:2] += rng.uniform(-0.5, 0.5, 2)
-        reqs.append(PlanRequest(start=s, goal=g, sdf=world))
+        if inline_sdf:
+            reqs.append(PlanRequest(start=s, goal=g, sdf=world))
+        else:
+            reqs.append(PlanRequest(start=s, goal=g, world="bench"))
     return reqs
 
 
-async def run_level(svc, world, concurrency, rounds, seed):
+async def run_level(svc, world, concurrency, rounds, seed,
+                    inline_sdf=False):
     lat = []
     t0 = time.perf_counter()
     total = 0
     for r in range(rounds):
-        reqs = make_requests(world, concurrency, seed + r)
+        reqs = make_requests(world, concurrency, seed + r, inline_sdf)
         responses = await asyncio.gather(*(svc.submit(q) for q in reqs))
         lat += [resp.latency_s for resp in responses]
         total += len(responses)
@@ -113,13 +117,16 @@ async def amain(args):
     svc.warmup((IMSIZE, IMSIZE))
     print(f"compiled in {time.perf_counter() - t0:.1f}s", flush=True)
 
+    svc.register_world("bench", world)
     await svc.start()
     try:
         # warm the dispatch path once
-        await run_level(svc, world, min(8, args.batch), 1, 999)
+        await run_level(svc, world, min(8, args.batch), 1, 999,
+                        args.inline_sdf)
         rows = []
         for level in args.levels:
-            row = await run_level(svc, world, level, args.rounds, 42)
+            row = await run_level(svc, world, level, args.rounds, 42,
+                                  args.inline_sdf)
             rows.append(row)
             print(f"concurrency {level:5d}: {row['plans_per_s']:10.1f} "
                   f"plans/s  p50 {row['p50_ms']:7.1f} ms  "
@@ -140,6 +147,10 @@ def main():
     p.add_argument("--levels", nargs="+", type=int,
                    default=[1, 8, 64, 256])
     p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--inline_sdf", action="store_true",
+                   help="ship the SDF with every request instead of the "
+                        "device-resident world cache (measures the "
+                        "per-request upload cost)")
     asyncio.run(amain(p.parse_args()))
 
 

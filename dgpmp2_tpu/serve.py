@@ -40,9 +40,27 @@ from .core import graph
 from .utils.trajectory import straight_line_traj
 
 
+def _straight_np(start, goal, spec):
+    """Numpy twin of ``utils.trajectory.straight_line_traj`` for one
+    (D,) start/goal pair — seeds are built host-side in warm-start
+    batches so no device round-trip happens outside the plan program."""
+    s, g = start[: spec.dof], goal[: spec.dof]
+    alpha = np.linspace(0.0, 1.0, spec.total_time_step + 1)[:, None]
+    pos = s[None] * (1.0 - alpha) + g[None] * alpha
+    vel = np.broadcast_to((g - s) / float(spec.total_time_sec), pos.shape)
+    return np.concatenate([pos, vel], axis=-1)
+
+
 @dataclasses.dataclass
 class PlanRequest:
-    """One planning problem: (D,) start/goal states and an (H, W) SDF.
+    """One planning problem: (D,) start/goal states and an environment.
+
+    The environment is either an inline ``sdf`` array (H, W) — uploaded
+    with the request — or a ``world`` name previously registered with
+    ``PlanningService.register_world``, which resolves to a
+    device-resident SDF and keeps the request payload tiny (worlds
+    change rarely; requests arrive constantly — re-uploading the SDF per
+    request would dominate serving latency on any remote link).
 
     ``th_init`` optionally seeds the optimizer (warm-start replanning);
     ``None`` seeds the constant-velocity straight line the reference's
@@ -51,8 +69,9 @@ class PlanRequest:
 
     start: np.ndarray
     goal: np.ndarray
-    sdf: np.ndarray
+    sdf: Optional[np.ndarray] = None
     th_init: Optional[np.ndarray] = None
+    world: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -180,12 +199,38 @@ class PlanningService:
         self.planner = planner
         self.batch_size = int(batch_size)
         self.window_s = float(window_ms) / 1e3
-        self._plan = jax.jit(
-            lambda th0, s, g, sdf: planner.plan(th0, s, g, sdf)
+
+        spec = planner.spec
+
+        def core(th0, s, g, sdf):
+            res = planner.plan(th0, s, g, sdf)
+            return res.th, res.err_init, res.err_final, res.iters
+
+        def seed(s, g):
+            return straight_line_traj(
+                s[:, : spec.dof], g[:, : spec.dof],
+                spec.total_time_sec, spec.total_time_step,
+            ).astype(planner.dtype)
+
+        # Four serving programs — cold (straight-line seed built on
+        # device) vs warm (explicit th0), × inline SDF vs world-bank
+        # row indices.  Everything per dispatch happens inside ONE jit
+        # (seed construction, bank gather, the plan itself) and the
+        # outputs come back in ONE device_get: on a remote/tunneled
+        # device each extra dispatch or fetch is a full round-trip.
+        self._plan_cold = jax.jit(lambda s, g, sdf: core(seed(s, g), s, g, sdf))
+        self._plan_warm = jax.jit(core)
+        self._plan_cold_bank = jax.jit(
+            lambda s, g, idx, bank: core(seed(s, g), s, g, bank[idx])
+        )
+        self._plan_warm_bank = jax.jit(
+            lambda th0, s, g, idx, bank: core(th0, s, g, bank[idx])
         )
         self._queue: Optional[asyncio.Queue] = None
         self._task: Optional[asyncio.Task] = None
         self._lock = threading.Lock()  # device dispatch is serialized
+        self._world_index: dict = {}   # name -> row in the device bank
+        self._world_bank = None        # (n_worlds, H, W) device array
         self.stats = {
             "requests": 0,
             "batches": 0,
@@ -193,22 +238,73 @@ class PlanningService:
             "device_time_s": 0.0,
         }
 
+    # -- world cache ---------------------------------------------------------
+
+    def register_world(self, name: str, sdf) -> None:
+        """Upload one environment SDF to the device once; subsequent
+        requests reference it as ``PlanRequest(world=name)`` and carry no
+        SDF payload.  Re-registering a name replaces its SDF."""
+        dt = self.planner.dtype
+        row = jnp.asarray(np.asarray(sdf), dt)
+        with self._lock:
+            if name in self._world_index:
+                i = self._world_index[name]
+                self._world_bank = self._world_bank.at[i].set(row)
+            else:
+                self._world_index[name] = (
+                    0 if self._world_bank is None else self._world_bank.shape[0]
+                )
+                self._world_bank = (
+                    row[None] if self._world_bank is None
+                    else jnp.concatenate([self._world_bank, row[None]])
+                )
+
+    def _resolve_sdfs(self, requests, pad):
+        """(batch, H, W) device SDF array: a bank gather when every
+        request names a registered world (no host upload), else a host
+        stack of the inline arrays."""
+        if all(r.world is not None for r in requests):
+            try:
+                idx = [self._world_index[r.world] for r in requests]
+            except KeyError as exc:
+                raise KeyError(f"unregistered world {exc}") from exc
+            idx += [idx[0]] * pad
+            return jnp.take(self._world_bank, jnp.asarray(idx), axis=0)
+        dt = self.planner.dtype
+        rows = []
+        for r in requests:
+            if r.sdf is not None:
+                rows.append(np.asarray(r.sdf))
+            elif r.world in self._world_index:
+                rows.append(
+                    np.asarray(self._world_bank[self._world_index[r.world]])
+                )
+            else:
+                raise ValueError(
+                    "request carries neither sdf nor a registered world")
+        rows += [rows[0]] * pad
+        return jnp.asarray(np.stack(rows), dt)
+
     # -- synchronous path --------------------------------------------------
 
-    def warmup(self, sdf_shape: tuple) -> None:
+    def warmup(self, sdf_shape: tuple = None) -> None:
         """Compile the serving program ahead of traffic (first dispatch
-        otherwise pays 20-40 s of XLA compile on the TPU)."""
-        spec = self.planner.spec
+        otherwise pays 20-40 s of XLA compile on the TPU).  Compiles the
+        bank-indexed program when worlds are registered (pass no
+        ``sdf_shape``), the inline-SDF program otherwise."""
         dt = self.planner.dtype
-        d = spec.state_dim
+        d = self.planner.spec.state_dim
         start = jnp.zeros((self.batch_size, d), dt)
         goal = jnp.ones((self.batch_size, d), dt)
-        th0 = straight_line_traj(
-            start[:, : spec.dof], goal[:, : spec.dof],
-            spec.total_time_sec, spec.total_time_step,
-        ).astype(dt)
-        sdf = jnp.ones((self.batch_size,) + tuple(sdf_shape), dt)
-        jax.block_until_ready(self._plan(th0, start, goal, sdf).th)
+        if sdf_shape is None and self._world_bank is not None:
+            idx = jnp.zeros((self.batch_size,), jnp.int32)
+            out = self._plan_cold_bank(start, goal, idx, self._world_bank)
+        else:
+            if sdf_shape is None:
+                raise ValueError("no registered worlds: pass sdf_shape")
+            sdf = jnp.ones((self.batch_size,) + tuple(sdf_shape), dt)
+            out = self._plan_cold(start, goal, sdf)
+        jax.block_until_ready(out)
 
     def plan_batch_sync(self, requests: Sequence[PlanRequest]):
         """Plan up to ``batch_size`` requests in one device program and
@@ -228,27 +324,39 @@ class PlanningService:
             return jnp.asarray(np.stack(rows), dt)
 
         start, goal = stack("start"), stack("goal")
-        sdf = stack("sdf")
-        dof = spec.dof
-        th_default = straight_line_traj(
-            start[:, :dof], goal[:, :dof],
-            spec.total_time_sec, spec.total_time_step,
-        ).astype(dt)
-        if any(r.th_init is not None for r in requests):
+        bank_mode = self._world_bank is not None and all(
+            r.world in self._world_index for r in requests
+        )
+        warm = any(r.th_init is not None for r in requests)
+        if warm:
+            # host-side straight-line fallback for unseeded rows — no
+            # device round-trip just to build seeds
             rows = [
                 np.asarray(r.th_init) if r.th_init is not None
-                else np.asarray(th_default[i])
-                for i, r in enumerate(requests)
+                else _straight_np(np.asarray(r.start), np.asarray(r.goal),
+                                  spec)
+                for r in requests
             ]
             rows += [rows[0]] * pad
             th0 = jnp.asarray(np.stack(rows), dt)
-        else:
-            th0 = th_default
 
         t0 = time.perf_counter()
         with self._lock:
-            res = self._plan(th0, start, goal, sdf)
-            th = np.asarray(res.th)
+            if bank_mode:
+                idx = jnp.asarray(
+                    [self._world_index[r.world] for r in requests]
+                    + [self._world_index[requests[0].world]] * pad
+                )
+                args = (start, goal, idx, self._world_bank)
+                out = (self._plan_warm_bank(th0, *args) if warm
+                       else self._plan_cold_bank(*args))
+            else:
+                sdf = self._resolve_sdfs(requests, pad)
+                out = (self._plan_warm(th0, start, goal, sdf) if warm
+                       else self._plan_cold(start, goal, sdf))
+            # ONE transfer for every output (each separate fetch is a
+            # full round-trip on a remote device)
+            th, err0, errf, n_iters = jax.device_get(out)
         dt_dev = time.perf_counter() - t0
 
         self.stats["requests"] += n
@@ -257,15 +365,12 @@ class PlanningService:
         self.stats["device_time_s"] += dt_dev
 
         fill = n / self.batch_size
-        err0 = np.asarray(res.err_init)
-        errf = np.asarray(res.err_final)
-        iters = np.asarray(res.iters)
         return [
             PlanResponse(
                 th=th[i],
                 err_init=float(err0[i]),
                 err_final=float(errf[i]),
-                iters=int(iters[i]),
+                iters=int(n_iters[i]),
                 batch_fill=fill,
                 latency_s=dt_dev,
             )

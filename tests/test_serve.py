@@ -183,6 +183,29 @@ def test_learned_adapter_serves_learned_planner(world):
     assert resp.iters == 6
 
 
+def test_registered_world_matches_inline_sdf(planner, world):
+    svc = PlanningService(planner, batch_size=2)
+    svc.register_world("lab", world)
+    reqs = _requests(world, 2)
+    inline = svc.plan_batch_sync(reqs)
+    by_name = svc.plan_batch_sync([
+        PlanRequest(start=r.start, goal=r.goal, world="lab") for r in reqs
+    ])
+    for a, b in zip(inline, by_name):
+        np.testing.assert_allclose(a.th, b.th, atol=1e-12)
+    # re-registering replaces the SDF in place
+    svc.register_world("lab", np.asarray(world) + 1.0)
+    replaced = svc.plan_batch_sync(
+        [PlanRequest(start=reqs[0].start, goal=reqs[0].goal, world="lab")]
+    )[0]
+    assert not np.allclose(replaced.th, by_name[0].th)
+    with pytest.raises((KeyError, ValueError)):
+        svc.plan_batch_sync(
+            [PlanRequest(start=reqs[0].start, goal=reqs[0].goal,
+                         world="nope")]
+        )
+
+
 def test_multistart_adapter_deterministic_and_improves(world):
     from dgpmp2_tpu.core import gn, graph
     from dgpmp2_tpu.robots import PointRobot2D
