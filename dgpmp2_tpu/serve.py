@@ -195,10 +195,12 @@ class PlanningService:
         of a batch before launching a partial one.
     """
 
-    def __init__(self, planner, batch_size: int = 64, window_ms: float = 2.0):
+    def __init__(self, planner, batch_size: int = 64, window_ms: float = 2.0,
+                 mesh=None):
         self.planner = planner
         self.batch_size = int(batch_size)
         self.window_s = float(window_ms) / 1e3
+        self.mesh = mesh
 
         spec = planner.spec
 
@@ -218,14 +220,36 @@ class PlanningService:
         # (seed construction, bank gather, the plan itself) and the
         # outputs come back in ONE device_get: on a remote/tunneled
         # device each extra dispatch or fetch is a full round-trip.
-        self._plan_cold = jax.jit(lambda s, g, sdf: core(seed(s, g), s, g, sdf))
-        self._plan_warm = jax.jit(core)
-        self._plan_cold_bank = jax.jit(
-            lambda s, g, idx, bank: core(seed(s, g), s, g, bank[idx])
-        )
-        self._plan_warm_bank = jax.jit(
-            lambda th0, s, g, idx, bank: core(th0, s, g, bank[idx])
-        )
+        #
+        # With a ``mesh`` the coalesced batch axis is sharded across its
+        # ``data`` axis (GSPMD) — multi-chip serving is the same four
+        # programs with sharding annotations; padding keeps the batch
+        # width (and therefore the per-device shard shapes) fixed.
+        if mesh is not None:
+            from .parallel.sharding import batch_sharding, replicated
+
+            bsh, rep = batch_sharding(mesh), replicated(mesh)
+            if self.batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by mesh "
+                    f"size {mesh.devices.size}")
+            out4 = (bsh, bsh, bsh, bsh)
+            jit = lambda fn, n_in, bank=False: jax.jit(  # noqa: E731
+                fn,
+                in_shardings=(bsh,) * n_in + ((rep,) if bank else ()),
+                out_shardings=out4,
+            )
+        else:
+            jit = lambda fn, n_in, bank=False: jax.jit(fn)  # noqa: E731
+        self._plan_cold = jit(
+            lambda s, g, sdf: core(seed(s, g), s, g, sdf), 3)
+        self._plan_warm = jit(core, 4)
+        self._plan_cold_bank = jit(
+            lambda s, g, idx, bank: core(seed(s, g), s, g, bank[idx]),
+            3, bank=True)
+        self._plan_warm_bank = jit(
+            lambda th0, s, g, idx, bank: core(th0, s, g, bank[idx]),
+            4, bank=True)
         self._queue: Optional[asyncio.Queue] = None
         self._task: Optional[asyncio.Task] = None
         self._lock = threading.Lock()  # device dispatch is serialized

@@ -232,6 +232,29 @@ def test_multistart_adapter_deterministic_and_improves(world):
     assert np.all(np.isfinite(r1.th))
 
 
+def test_sharded_service_matches_unsharded(planner, world):
+    import jax
+
+    from dgpmp2_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(jax.devices()[:8])
+    reqs = _requests(world, 5)
+    plain = PlanningService(planner, batch_size=8)
+    sharded = PlanningService(planner, batch_size=8, mesh=mesh)
+    for svc in (plain, sharded):
+        svc.register_world("w", world)
+    named = [PlanRequest(start=r.start, goal=r.goal, world="w")
+             for r in reqs]
+    a = plain.plan_batch_sync(named)
+    b = sharded.plan_batch_sync(named)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x.th, y.th, atol=1e-12)
+    with pytest.raises(ValueError):
+        PlanningService(planner, batch_size=6, mesh=mesh)
+
+
 def test_submit_before_start_raises(planner, world):
     svc = PlanningService(planner, batch_size=2)
 
