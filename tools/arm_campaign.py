@@ -381,17 +381,22 @@ def main(argv=None):
                                             static[s]["contact_free_rate"]))
     print(f"[static] best sigma={best_sigma}: {static[best_sigma]}")
 
+    eps_b = dict(learn_eps=True, eps_max=2 * COV["epsilon_dist"],
+                 static_init=(1.0, float(best_sigma), COV["epsilon_dist"]))
+    eps_a = dict(learn_eps=True,
+                 static_init=(1.0, float(best_sigma), COV["epsilon_dist"]))
+    task = dict(pos_loss_weight=0.0, ext_loss_weight=1.0, ext_obs_lambda=5.0)
     configs = {
-        "eps_bounded": (dict(pos_loss_weight=0.0, ext_loss_weight=1.0,
-                             ext_obs_lambda=5.0),
-                        dict(learn_eps=True, eps_max=2 * COV["epsilon_dist"],
-                             static_init=(1.0, float(best_sigma),
-                                          COV["epsilon_dist"]))),
-        "eps_anchor": (dict(pos_loss_weight=0.05, ext_loss_weight=1.0,
-                            ext_obs_lambda=5.0),
-                       dict(learn_eps=True,
-                            static_init=(1.0, float(best_sigma),
-                                         COV["epsilon_dist"]))),
+        "eps_bounded": (task, eps_b),
+        "eps_anchor": (dict(task, pos_loss_weight=0.05), eps_a),
+        # At 3e-4 the arm losses oscillate (eps_bounded) or diverge
+        # (eps_anchor) and epoch selection falls back to the init weights
+        # — the same symptom the XL point campaign fixed with a lower
+        # step size (PERFORMANCE.md "XL replication", eps_bounded_lr1).
+        "eps_bounded_lr1": (dict(task, _alpha=1e-4), eps_b),
+        "eps_bounded_lr2": (dict(task, _alpha=3e-5), eps_b),
+        "eps_anchor_lr1": (dict(task, pos_loss_weight=0.05, _alpha=1e-4),
+                           eps_a),
     }
 
     results_file = os.path.join(args.out, "results.yaml")
