@@ -472,6 +472,14 @@ def _pallas_v3_2_lookup(sdf, points, res, x_lims, y_lims):
     return _pallas_v3_lookup(sdf, points, res, x_lims, y_lims, n_limbs=2)
 
 
+def _pallas_v3_1_lookup(sdf, points, res, x_lims, y_lims):
+    """1-limb variant: the SDF lives in plain bf16 (~0.4% relative error) —
+    halves the per-iteration HBM/DMA traffic and runs one single-pass bf16
+    MXU dot per sample.  Quality-sensitive paths should stay on the exact
+    engines; this is an opt-in speed/accuracy trade for serving."""
+    return _pallas_v3_lookup(sdf, points, res, x_lims, y_lims, n_limbs=1)
+
+
 _LOOKUP_FNS = {
     "gather": bilinear_lookup,
     "mxu": bilinear_lookup_mxu,
@@ -480,12 +488,14 @@ _LOOKUP_FNS = {
     "pallas_v2": _pallas_v2_lookup,
     "pallas_v3": _pallas_v3_lookup,
     "pallas_v3_2": _pallas_v3_2_lookup,
+    "pallas_v3_1": _pallas_v3_1_lookup,
 }
 
 
 def set_lookup_method(method: str) -> None:
     """Override the bilinear lookup engine: 'auto' | 'gather' | 'mxu' |
-    'rows' | 'pallas' | 'pallas_v2' | 'pallas_v3' | 'pallas_v3_2'.
+    'rows' | 'pallas' | 'pallas_v2' | 'pallas_v3' | 'pallas_v3_2' |
+    'pallas_v3_1' (bf16 SDF, ~0.4% relative — serving-only trade).
 
     Like :func:`set_oob_mode`, the method is captured at trace time, so
     switching invalidates jit caches — otherwise an already-compiled

@@ -287,7 +287,8 @@ def test_pallas_v3_lookup_matches_gather_interpret():
         jnp.float32,
     )
     d1, g1 = sdf_ops.bilinear_lookup(sdf, pts, res, lims, lims)
-    for n_limbs, atol in ((3, 1e-4), (2, 5e-4)):
+    # 1 limb = plain bf16 SDF: ~2^-9 relative of the ~3-sigma value range.
+    for n_limbs, atol in ((3, 1e-4), (2, 5e-4), (1, 3e-2)):
         d2, g2 = bilinear_lookup_pallas_v3(sdf, pts, res, lims, lims, 2,
                                            n_limbs, True)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=atol)
