@@ -8,7 +8,8 @@ Builds the same ``A (M×N)``, ``b (M)``, ``K (M×M)`` matrices the reference's
     rows [D, D·(T+1))                 GP factors (factor i at rows (i+1)·D)
     rows [D·(T+1), D·(T+2))           goal prior
     rows [D·(T+2), D·(T+2)+(T+1)·L)   obstacle factors
-    then nonholonomic (1 row/state), then velocity limits (dof rows/state)
+    then nonholonomic (1 row/state), then velocity limits (dof rows/state),
+    then self-collision pairs (P rows/state), then interpolated obstacles
 
 Used by the test-suite to prove ``blocktridiag(assemble(...)) == AᵀKA`` and
 ``rhs == AᵀKb`` and by anyone extending the factor library who wants a
@@ -103,6 +104,21 @@ def assemble_dense(spec, robot, params, th, sdf):
             b = b.at[r0 : r0 + spec.dof].set(r_vel[i])
             K = K.at[r0 : r0 + spec.dof, r0 : r0 + spec.dof].set(params.vel_inv[i])
         off += tn * spec.dof
+
+    if spec.use_self_collision:
+        pairs = jnp.asarray(spec.self_pairs, jnp.int32)
+        centers_s, jac_s = robot.fk(th)
+        p = spec.num_self_pairs
+        r_self, h_self = factors.self_collision_residual(
+            centers_s, jac_s, robot.radii_array(dtype),
+            pairs[:, 0], pairs[:, 1], params.self_eps,
+        )
+        for i in range(tn):
+            r0 = off + i * p
+            A = A.at[r0 : r0 + p, i * d : (i + 1) * d].set(h_self[i])
+            b = b.at[r0 : r0 + p].set(r_self[i])
+            K = K.at[r0 : r0 + p, r0 : r0 + p].set(jnp.diag(params.self_inv[i]))
+        off += tn * p
 
     if spec.use_gp_inter:
         # Binary interpolated obstacle rows: H_t = h·Λ_k, H_{t+1} = h·Ψ_k.

@@ -256,3 +256,43 @@ def velocity_limit_residual(th: jnp.ndarray, v_lim: jnp.ndarray, dof: int):
         [jnp.zeros((*h_v.shape[:-1], d - dof), th.dtype), h_v], axis=-1
     )
     return r, h
+
+
+def self_collision_residual(centers, jac_fk, radii, pairs_i, pairs_j,
+                            eps_self):
+    """Pairwise sphere-sphere self-collision hinge for articulated robots.
+
+    New factor beyond the reference (which ships only point robots —
+    SURVEY.md §2.4 names the FK interface as the extension point; the
+    original GPMP2 C++ library has the analogous factor but dGPMP2 never
+    did): for each configured body-sphere pair (i, j),
+
+        r_p = max(0, (ε_p + radius_i + radius_j) − ‖c_i − c_j‖)
+
+    with ``H = ∂‖c_i − c_j‖/∂x = û·(J_i − J_j)`` inside the hinge and zero
+    outside — the same ``A = −∂r/∂x`` row convention as every other factor
+    (the hinge decreases as the spheres separate).
+
+    Args:
+      centers: (..., L, W) workspace sphere centers.
+      jac_fk:  (..., L, W, D) FK Jacobians.
+      radii:   (L,) sphere radii.
+      pairs_i, pairs_j: (P,) int arrays of sphere indices per pair.
+      eps_self: (..., P) safety margins (may be learned per state).
+
+    Returns r (..., P) and H (..., P, D).
+    """
+    ci = centers[..., pairs_i, :]
+    cj = centers[..., pairs_j, :]
+    diff = ci - cj  # (..., P, W)
+    # Safe norm: the true distance is never 0 for a sane sphere layout, but
+    # the sqrt grad must stay finite under jit for inactive pairs too.
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    thresh = eps_self + radii[pairs_i] + radii[pairs_j]
+    active = dist <= thresh
+    r = jnp.where(active, thresh - dist, jnp.zeros_like(dist))
+    u = jnp.where(active[..., None], diff / dist[..., None],
+                  jnp.zeros_like(diff))
+    jdiff = jac_fk[..., pairs_i, :, :] - jac_fk[..., pairs_j, :, :]
+    h = jnp.sum(u[..., None] * jdiff, axis=-2)  # (..., P, D)
+    return r, h

@@ -81,6 +81,16 @@ class GraphSpec:
     # gpmp2_planner.py:29-41; SURVEY.md §5.7).
     use_gp_inter: bool = False
     num_inter: int = 3
+    # Sphere-sphere self-collision hinges for articulated robots (beyond
+    # the reference, which ships only point robots — SURVEY.md §2.4).
+    # ``self_pairs`` is a static tuple of (sphere_i, sphere_j) index pairs;
+    # see ``robots.self_collision_pairs`` for a geometry-aware default.
+    use_self_collision: bool = False
+    self_pairs: Tuple[Tuple[int, int], ...] = ()
+
+    @property
+    def num_self_pairs(self) -> int:
+        return len(self.self_pairs)
 
     @property
     def num_traj_states(self) -> int:
@@ -103,6 +113,8 @@ class GraphSpec:
             m += self.num_traj_states
         if self.use_vel_limits:
             m += self.dof * self.num_traj_states
+        if self.use_self_collision:
+            m += self.num_self_pairs * self.num_traj_states
         if self.use_gp_inter:
             m += self.num_gp_factors * self.num_inter * self.nlinks
         return m
@@ -133,6 +145,9 @@ class GraphParams(struct.PyTreeNode):
       vel_inv: (B, T+1, dof, dof) velocity-limit inverse covs (None unless
                enabled).
       v_lim:   (B, T+1, dof) per-axis velocity limits.
+      self_inv: (B, T+1, P) self-collision hinge weights (None unless
+               enabled).
+      self_eps: (B, T+1, P) self-collision safety margins.
     """
 
     start: jnp.ndarray
@@ -145,6 +160,8 @@ class GraphParams(struct.PyTreeNode):
     dyn_inv: Optional[jnp.ndarray] = None
     vel_inv: Optional[jnp.ndarray] = None
     v_lim: Optional[jnp.ndarray] = None
+    self_inv: Optional[jnp.ndarray] = None
+    self_eps: Optional[jnp.ndarray] = None
 
 
 class FactorResiduals(struct.PyTreeNode):
@@ -168,6 +185,8 @@ class FactorResiduals(struct.PyTreeNode):
     h_vel: Optional[jnp.ndarray] = None  # (B, T+1, dof, D)
     r_obsi: Optional[jnp.ndarray] = None  # (B, T, nip, L) interp hinge
     h_obsi: Optional[jnp.ndarray] = None  # (B, T, nip, L, D) wrt interp state
+    r_self: Optional[jnp.ndarray] = None  # (B, T+1, P) self-collision hinge
+    h_self: Optional[jnp.ndarray] = None  # (B, T+1, P, D)
 
 
 def eval_residuals(
@@ -217,15 +236,22 @@ def eval_residuals(
             centers, jac_fk, robot.radii_array(dtype), params.eps, sdf,
             spec.res(sdf.shape[-1]), spec.x_lims, spec.y_lims,
         )
-    r_dyn = h_dyn = r_vel = h_vel = None
+    r_dyn = h_dyn = r_vel = h_vel = r_self = h_self = None
     if spec.non_holonomic:
         r_dyn, h_dyn = factors.nonholonomic_residual(th)
     if spec.use_vel_limits:
         r_vel, h_vel = factors.velocity_limit_residual(th, params.v_lim, spec.dof)
+    if spec.use_self_collision:
+        pairs = jnp.asarray(spec.self_pairs, jnp.int32)
+        r_self, h_self = factors.self_collision_residual(
+            centers, jac_fk, robot.radii_array(dtype),
+            pairs[:, 0], pairs[:, 1], params.self_eps,
+        )
     return FactorResiduals(r_gp=r_gp, r_s=r_s, r_g=r_g, r_obs=r_obs,
                            h_obs=h_obs, r_dyn=r_dyn, h_dyn=h_dyn,
                            r_vel=r_vel, h_vel=h_vel,
-                           r_obsi=r_obsi, h_obsi=h_obsi)
+                           r_obsi=r_obsi, h_obsi=h_obsi,
+                           r_self=r_self, h_self=h_self)
 
 
 class StaticBlocks(struct.PyTreeNode):
@@ -334,6 +360,16 @@ def assemble_from_residuals(
         )
         rhs = rhs + jnp.sum(lam_hv * r_vel[..., None], axis=-2)
 
+    # --- Self-collision hinges (unary, P pair residuals) -----------------
+    if spec.use_self_collision:
+        r_sc, h_sc = res.r_self, res.h_self  # (B,T+1,P), (B,T+1,P,D)
+        w = params.self_inv  # (B, T+1, P) diagonal weights
+        lam_hs = w[..., None] * h_sc
+        diag = diag + jnp.sum(
+            h_sc[..., :, :, None] * lam_hs[..., :, None, :], axis=-3
+        )
+        rhs = rhs + jnp.sum(lam_hs * r_sc[..., None], axis=-2)
+
     # --- GP-interpolated obstacle factors (binary: couple x_t, x_{t+1}) --
     if spec.use_gp_inter:
         # H wrt supports chains through the interpolation matrices:
@@ -410,6 +446,8 @@ def error_from_residuals(
         err += 0.5 * jnp.sum(
             _mv(params.vel_inv, res.r_vel) * res.r_vel, axis=(-2, -1)
         )
+    if spec.use_self_collision:
+        err += 0.5 * jnp.sum(params.self_inv * res.r_self**2, axis=(-2, -1))
     if spec.use_gp_inter:
         w = obs_inv[..., :-1, None, :, :]
         err += 0.5 * jnp.sum(
@@ -484,6 +522,8 @@ def linear_error(
         parts.append(res.r_dyn)
     if spec.use_vel_limits:
         parts.append(res.r_vel.reshape(*batch, -1))
+    if spec.use_self_collision:
+        parts.append(res.r_self.reshape(*batch, -1))
     if spec.use_gp_inter:
         parts.append(res.r_obsi.reshape(*batch, -1))
     return jnp.concatenate(parts, axis=-1)
@@ -519,6 +559,8 @@ def default_params(
     k_v=None,
     v_x=None,
     v_y=None,
+    k_self=None,
+    eps_self=None,
     dtype=jnp.float32,
 ) -> GraphParams:
     """Build fixed-covariance GraphParams from reference YAML scalars.
@@ -565,6 +607,11 @@ def default_params(
                 f"{spec.dof}; pass a length-dof sequence as v_x"
             )
         v_lim = jnp.broadcast_to(jnp.asarray(lims, dtype), (b, tn, spec.dof))
+    self_inv = self_eps = None
+    if spec.use_self_collision:
+        p = spec.num_self_pairs
+        self_inv = jnp.full((b, tn, p), 1.0 / jnp.asarray(k_self, dtype) ** 2)
+        self_eps = jnp.full((b, tn, p), jnp.asarray(eps_self, dtype))
     return GraphParams(
         start=start.astype(dtype),
         goal=goal.astype(dtype),
@@ -576,4 +623,6 @@ def default_params(
         dyn_inv=dyn_inv,
         vel_inv=vel_inv,
         v_lim=v_lim,
+        self_inv=self_inv,
+        self_eps=self_eps,
     )

@@ -234,6 +234,47 @@ class PlanarArmNLink(RobotModel):
         return centers, jac
 
 
+def self_collision_pairs(robot: RobotModel, eps_self: float = 0.05,
+                         slack: float = 0.02) -> Tuple[Tuple[int, int], ...]:
+    """Sphere index pairs for the self-collision factor
+    (:func:`dgpmp2_tpu.core.factors.self_collision_residual`).
+
+    Workspace distance between two spheres can never exceed their
+    separation measured along the kinematic chain, so pairs whose rest
+    arc separation is within contact range (``r_i + r_j + eps_self +
+    slack``) are *permanently* in hinge contact and excluded — keeping
+    them would bias every configuration.  Every remaining pair can
+    genuinely fold into collision and is included.
+
+    Supports the planar-arm families (anything exposing ``link_lengths``
+    and ``spheres_per_link``).
+    """
+    lengths = getattr(robot, "link_lengths", None)
+    sp = getattr(robot, "spheres_per_link", None)
+    if lengths is None or sp is None:
+        raise ValueError(
+            f"{type(robot).__name__} has no chain geometry for "
+            "self-collision pair construction")
+    arcs = []
+    links = []
+    acc = 0.0
+    for k, lk in enumerate(lengths):
+        for i in range(sp):
+            arcs.append(acc + (i + 1) / sp * lk)
+            links.append(k)
+        acc += lk
+    pairs = []
+    for i in range(len(arcs)):
+        for j in range(i + 1, len(arcs)):
+            if links[i] == links[j]:
+                continue  # same rigid link: distance is constant
+            reach = (robot.sphere_radii[i] + robot.sphere_radii[j]
+                     + eps_self + slack)
+            if arcs[j] - arcs[i] > reach:
+                pairs.append((i, j))
+    return tuple(pairs)
+
+
 def make_robot(robot_data: dict) -> RobotModel:
     """Build a robot from the reference's robot-YAML schema.
 
