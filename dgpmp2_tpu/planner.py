@@ -84,6 +84,8 @@ class DiffGPMP2Planner:
             k_v=gp.get("K_v"),
             v_x=gp.get("v_x"),
             v_y=gp.get("v_y"),
+            k_self=gp.get("K_self"),
+            eps_self=obs.get("self_collision_eps", 0.05),
             dtype=self.dtype,
         )
 

@@ -46,6 +46,16 @@ def load_params_learn(param_file, robot_file, env_file, learn_params_file):
 
 
 def spec_from_params(planner_params, env_data, robot) -> GraphSpec:
+    # Extension key (not in the reference schema): enable the arm
+    # self-collision factor; pairs come from the robot's chain geometry.
+    self_pairs = ()
+    if planner_params.get("use_self_collision", False):
+        from dgpmp2_tpu.robots import self_collision_pairs
+
+        self_pairs = self_collision_pairs(
+            robot,
+            eps_self=float(planner_params.get("self_collision_eps", 0.05)),
+        )
     return GraphSpec(
         dof=int(planner_params["dof"]),
         state_dim=int(planner_params["state_dim"]),
@@ -66,6 +76,9 @@ def spec_from_params(planner_params, env_data, robot) -> GraphSpec:
                                    4 * int(planner_params["total_time_step"])))
             // int(planner_params["total_time_step"]) - 1,
         ) if planner_params.get("use_gp_inter", False) else 3,
+        use_self_collision=bool(planner_params.get("use_self_collision",
+                                                   False)),
+        self_pairs=self_pairs,
     )
 
 

@@ -187,3 +187,36 @@ def test_self_collision_factor_overrides_infeasible_command():
     gap = float(jnp.linalg.norm(r_on.th[0, -1, :ARM3.dofs]
                                 - goal[0, :ARM3.dofs]))
     assert gap > 0.1
+
+
+def test_yaml_planner_api_plumbs_self_collision():
+    """The reference-schema planner API accepts the extension keys:
+    planner_params.use_self_collision / gp_params.K_self."""
+    from dgpmp2_tpu.planner import DiffGPMP2Planner
+
+    gp = {"Q_c_inv": np.eye(ARM3.dofs), "K_s": 0.001, "K_g": 0.05,
+          "K_self": 0.01}
+    obs = {"cost_sigma": 0.5, "epsilon_dist": 0.2,
+           "self_collision_eps": 0.05}
+    pp = {"dof": ARM3.dofs, "state_dim": ARM3.state_dim,
+          "total_time_sec": 10.0, "total_time_step": 20,
+          "use_self_collision": True, "self_collision_eps": 0.1}
+    opt = {"method": "gauss_newton", "reg": 0.1, "max_iters": 40}
+    env = {"x_lims": [-5.0, 5.0], "y_lims": [-5.0, 5.0]}
+    planner = DiffGPMP2Planner(gp, obs, pp, opt, env, ARM3,
+                               dtype=jnp.float64)
+    assert planner.spec.use_self_collision
+    assert planner.spec.self_pairs == PAIRS
+    d = ARM3.state_dim
+    start = jnp.zeros((1, d), jnp.float64)
+    goal = jnp.zeros((1, d), jnp.float64).at[0, 1].set(2.7)
+    th0 = straight_line_traj(start[:, :ARM3.dofs], goal[:, :ARM3.dofs],
+                             10.0, 20)
+    r = planner.plan(th0, start, goal, _free_sdf(64)[None])
+    th = r.th if hasattr(r, "th") else r[0]
+    pairs = jnp.asarray(PAIRS, jnp.int32)
+    centers, _ = ARM3.fk(th)
+    dist = jnp.sqrt(jnp.sum(
+        (centers[..., pairs[:, 0], :] - centers[..., pairs[:, 1], :]) ** 2,
+        -1))
+    assert float(jnp.min(dist)) > 0.5  # every pair clears body contact
