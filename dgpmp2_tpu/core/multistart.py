@@ -199,7 +199,9 @@ def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6):
     When ``spec.use_gp_inter`` is on, contact also covers the
     GP-interpolated states — the same dense checks the planner's own
     best-iterate criterion requires, so selection cannot prefer a
-    candidate that threads an obstacle between support states.  A
+    candidate that threads an obstacle between support states.  When
+    ``spec.use_self_collision`` is on, contact likewise covers
+    body-pair penetration, so a self-tangled candidate cannot win.  A
     diverged candidate (NaN trajectory) scores +inf and can never win.
     """
     res = spec.res(sdf.shape[-1])
@@ -226,6 +228,15 @@ def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6):
             0.0,
         )
         contact = contact + jnp.sum(pen_i, axis=(-3, -2, -1))
+    if spec.use_self_collision:
+        pairs = jnp.asarray(spec.self_pairs, jnp.int32)
+        dist = jnp.sqrt(jnp.sum(
+            (centers[..., pairs[:, 0], :] - centers[..., pairs[:, 1], :])
+            ** 2, axis=-1) + 1e-12)
+        pen_self = jnp.maximum(
+            radii[pairs[:, 0]] + radii[pairs[:, 1]] - dist, 0.0
+        )
+        contact = contact + jnp.sum(pen_self[:, 1:-1, :], axis=(-2, -1))
     vel = th[..., spec.dof:]
     smooth = jnp.mean(jnp.sum(jnp.diff(vel, axis=-2) ** 2, -1), -1)
     score = contact * contact_weight + smooth

@@ -220,3 +220,30 @@ def test_yaml_planner_api_plumbs_self_collision():
         (centers[..., pairs[:, 0], :] - centers[..., pairs[:, 1], :]) ** 2,
         -1))
     assert float(jnp.min(dist)) > 0.5  # every pair clears body contact
+
+
+def test_multistart_selection_penalizes_self_collision():
+    """score_candidates covers body-pair penetration when the factor is
+    configured: a smooth-but-tangled candidate loses to a clear one."""
+    from dgpmp2_tpu.core.multistart import score_candidates
+
+    d = ARM3.state_dim
+    spec = graph.GraphSpec(total_time_step=10, dof=ARM3.dofs, state_dim=d,
+                           nlinks=ARM3.nlinks, use_self_collision=True,
+                           self_pairs=PAIRS)
+    spec_plain = graph.GraphSpec(total_time_step=10, dof=ARM3.dofs,
+                                 state_dim=d, nlinks=ARM3.nlinks)
+    sdfb = jnp.broadcast_to(_free_sdf(), (2, 32, 32))
+    # Candidate 0: extended the whole time (self-clear, zero velocity).
+    th_clear = jnp.zeros((11, d), jnp.float64)
+    # Candidate 1: held at the tangled fold the whole time (also zero
+    # velocity — smoothness identical).
+    th_fold = jnp.zeros((11, d), jnp.float64).at[:, 1].set(2.7)
+    th = jnp.stack([th_clear, th_fold])
+    score, contact = score_candidates(spec, ARM3, th, sdfb)
+    assert float(contact[0]) == 0.0
+    assert float(contact[1]) > 0.0, "tangled candidate must register contact"
+    assert float(score[0]) < float(score[1])
+    # Without the factor configured the tangle is invisible to selection.
+    _, contact_plain = score_candidates(spec_plain, ARM3, th, sdfb)
+    assert float(contact_plain[1]) == 0.0
