@@ -9,7 +9,8 @@ Builds the same ``A (M×N)``, ``b (M)``, ``K (M×M)`` matrices the reference's
     rows [D·(T+1), D·(T+2))           goal prior
     rows [D·(T+2), D·(T+2)+(T+1)·L)   obstacle factors
     then nonholonomic (1 row/state), then velocity limits (dof rows/state),
-    then self-collision pairs (P rows/state), then interpolated obstacles
+    then joint limits (dof rows/state), then self-collision pairs
+    (P rows/state), then interpolated obstacles
 
 Used by the test-suite to prove ``blocktridiag(assemble(...)) == AᵀKA`` and
 ``rhs == AᵀKb`` and by anyone extending the factor library who wants a
@@ -103,6 +104,17 @@ def assemble_dense(spec, robot, params, th, sdf):
             A = A.at[r0 : r0 + spec.dof, i * d : (i + 1) * d].set(h_vel[i])
             b = b.at[r0 : r0 + spec.dof].set(r_vel[i])
             K = K.at[r0 : r0 + spec.dof, r0 : r0 + spec.dof].set(params.vel_inv[i])
+        off += tn * spec.dof
+
+    if spec.use_joint_limits:
+        r_jl, h_jl = factors.joint_limit_residual(th, params.q_min,
+                                                  params.q_max, spec.dof)
+        for i in range(tn):
+            r0 = off + i * spec.dof
+            A = A.at[r0 : r0 + spec.dof, i * d : (i + 1) * d].set(h_jl[i])
+            b = b.at[r0 : r0 + spec.dof].set(r_jl[i])
+            K = K.at[r0 : r0 + spec.dof, r0 : r0 + spec.dof].set(
+                params.jl_inv[i])
         off += tn * spec.dof
 
     if spec.use_self_collision:

@@ -296,3 +296,35 @@ def self_collision_residual(centers, jac_fk, radii, pairs_i, pairs_j,
     jdiff = jac_fk[..., pairs_i, :, :] - jac_fk[..., pairs_j, :, :]
     h = jnp.sum(u[..., None] * jdiff, axis=-2)  # (..., P, D)
     return r, h
+
+
+def joint_limit_residual(th: jnp.ndarray, q_min: jnp.ndarray,
+                         q_max: jnp.ndarray, dof: int):
+    """Per-joint position-limit hinge (companion of
+    :func:`velocity_limit_residual`; the original GPMP2 C++ library has
+    the analogous JointLimitFactor, dGPMP2 ships none):
+
+        r_k = max(0, q_k − q_max_k) + max(0, q_min_k − q_k)
+
+    (at most one side active), with ``H_k = ∓e_{q_k}`` inside the hinge —
+    the ``A = −∂r/∂x`` row convention.
+
+    Args:
+      th:    (..., T, D) trajectory, positions in the first ``dof`` dims.
+      q_min, q_max: (..., T, dof) per-joint limits.
+
+    Returns r (..., T, dof) and H (..., T, dof, D).
+    """
+    d = th.shape[-1]
+    q = th[..., :dof]
+    over = q >= q_max
+    under = q <= q_min
+    r = (jnp.where(over, q - q_max, 0.0)
+         + jnp.where(under, q_min - q, 0.0))
+    sign = jnp.where(over, -1.0, 0.0) + jnp.where(under, 1.0, 0.0)
+    sel = jnp.eye(dof, dtype=th.dtype)
+    h_q = sign[..., :, None] * sel  # (..., T, dof, dof)
+    h = jnp.concatenate(
+        [h_q, jnp.zeros((*h_q.shape[:-1], d - dof), th.dtype)], axis=-1
+    )
+    return r, h

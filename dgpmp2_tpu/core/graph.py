@@ -87,6 +87,9 @@ class GraphSpec:
     # see ``robots.self_collision_pairs`` for a geometry-aware default.
     use_self_collision: bool = False
     self_pairs: Tuple[Tuple[int, int], ...] = ()
+    # Per-joint position-limit hinges (companion of use_vel_limits; the
+    # original GPMP2 C++ has the analogous JointLimitFactor).
+    use_joint_limits: bool = False
 
     @property
     def num_self_pairs(self) -> int:
@@ -112,6 +115,8 @@ class GraphSpec:
         if self.non_holonomic:
             m += self.num_traj_states
         if self.use_vel_limits:
+            m += self.dof * self.num_traj_states
+        if self.use_joint_limits:
             m += self.dof * self.num_traj_states
         if self.use_self_collision:
             m += self.num_self_pairs * self.num_traj_states
@@ -148,6 +153,9 @@ class GraphParams(struct.PyTreeNode):
       self_inv: (B, T+1, P) self-collision hinge weights (None unless
                enabled).
       self_eps: (B, T+1, P) self-collision safety margins.
+      jl_inv:  (B, T+1, dof, dof) joint-limit inverse covs (None unless
+               enabled).
+      q_min, q_max: (B, T+1, dof) per-joint position limits.
     """
 
     start: jnp.ndarray
@@ -162,6 +170,9 @@ class GraphParams(struct.PyTreeNode):
     v_lim: Optional[jnp.ndarray] = None
     self_inv: Optional[jnp.ndarray] = None
     self_eps: Optional[jnp.ndarray] = None
+    jl_inv: Optional[jnp.ndarray] = None
+    q_min: Optional[jnp.ndarray] = None
+    q_max: Optional[jnp.ndarray] = None
 
 
 class FactorResiduals(struct.PyTreeNode):
@@ -187,6 +198,8 @@ class FactorResiduals(struct.PyTreeNode):
     h_obsi: Optional[jnp.ndarray] = None  # (B, T, nip, L, D) wrt interp state
     r_self: Optional[jnp.ndarray] = None  # (B, T+1, P) self-collision hinge
     h_self: Optional[jnp.ndarray] = None  # (B, T+1, P, D)
+    r_jl: Optional[jnp.ndarray] = None  # (B, T+1, dof) joint-limit hinge
+    h_jl: Optional[jnp.ndarray] = None  # (B, T+1, dof, D)
 
 
 def eval_residuals(
@@ -236,11 +249,14 @@ def eval_residuals(
             centers, jac_fk, robot.radii_array(dtype), params.eps, sdf,
             spec.res(sdf.shape[-1]), spec.x_lims, spec.y_lims,
         )
-    r_dyn = h_dyn = r_vel = h_vel = r_self = h_self = None
+    r_dyn = h_dyn = r_vel = h_vel = r_self = h_self = r_jl = h_jl = None
     if spec.non_holonomic:
         r_dyn, h_dyn = factors.nonholonomic_residual(th)
     if spec.use_vel_limits:
         r_vel, h_vel = factors.velocity_limit_residual(th, params.v_lim, spec.dof)
+    if spec.use_joint_limits:
+        r_jl, h_jl = factors.joint_limit_residual(th, params.q_min,
+                                                  params.q_max, spec.dof)
     if spec.use_self_collision:
         pairs = jnp.asarray(spec.self_pairs, jnp.int32)
         r_self, h_self = factors.self_collision_residual(
@@ -251,7 +267,8 @@ def eval_residuals(
                            h_obs=h_obs, r_dyn=r_dyn, h_dyn=h_dyn,
                            r_vel=r_vel, h_vel=h_vel,
                            r_obsi=r_obsi, h_obsi=h_obsi,
-                           r_self=r_self, h_self=h_self)
+                           r_self=r_self, h_self=h_self,
+                           r_jl=r_jl, h_jl=h_jl)
 
 
 class StaticBlocks(struct.PyTreeNode):
@@ -360,6 +377,17 @@ def assemble_from_residuals(
         )
         rhs = rhs + jnp.sum(lam_hv * r_vel[..., None], axis=-2)
 
+    # --- Joint position limits (unary, dof residuals) --------------------
+    if spec.use_joint_limits:
+        r_jl, h_jl = res.r_jl, res.h_jl
+        lam_hj = jnp.sum(
+            params.jl_inv[..., :, :, None] * h_jl[..., None, :, :], axis=-2
+        )
+        diag = diag + jnp.sum(
+            h_jl[..., :, :, None] * lam_hj[..., :, None, :], axis=-3
+        )
+        rhs = rhs + jnp.sum(lam_hj * r_jl[..., None], axis=-2)
+
     # --- Self-collision hinges (unary, P pair residuals) -----------------
     if spec.use_self_collision:
         r_sc, h_sc = res.r_self, res.h_self  # (B,T+1,P), (B,T+1,P,D)
@@ -446,6 +474,10 @@ def error_from_residuals(
         err += 0.5 * jnp.sum(
             _mv(params.vel_inv, res.r_vel) * res.r_vel, axis=(-2, -1)
         )
+    if spec.use_joint_limits:
+        err += 0.5 * jnp.sum(
+            _mv(params.jl_inv, res.r_jl) * res.r_jl, axis=(-2, -1)
+        )
     if spec.use_self_collision:
         err += 0.5 * jnp.sum(params.self_inv * res.r_self**2, axis=(-2, -1))
     if spec.use_gp_inter:
@@ -522,6 +554,8 @@ def linear_error(
         parts.append(res.r_dyn)
     if spec.use_vel_limits:
         parts.append(res.r_vel.reshape(*batch, -1))
+    if spec.use_joint_limits:
+        parts.append(res.r_jl.reshape(*batch, -1))
     if spec.use_self_collision:
         parts.append(res.r_self.reshape(*batch, -1))
     if spec.use_gp_inter:
@@ -561,6 +595,9 @@ def default_params(
     v_y=None,
     k_self=None,
     eps_self=None,
+    k_jl=None,
+    q_min=None,
+    q_max=None,
     dtype=jnp.float32,
 ) -> GraphParams:
     """Build fixed-covariance GraphParams from reference YAML scalars.
@@ -612,6 +649,16 @@ def default_params(
         p = spec.num_self_pairs
         self_inv = jnp.full((b, tn, p), 1.0 / jnp.asarray(k_self, dtype) ** 2)
         self_eps = jnp.full((b, tn, p), jnp.asarray(eps_self, dtype))
+    jl_inv = qmin_b = qmax_b = None
+    if spec.use_joint_limits:
+        jl_inv = jnp.broadcast_to(
+            jnp.eye(spec.dof, dtype=dtype) / jnp.asarray(k_jl, dtype) ** 2,
+            (b, tn, spec.dof, spec.dof),
+        )
+        qmin_b = jnp.broadcast_to(
+            jnp.asarray(q_min, dtype).reshape(-1), (b, tn, spec.dof))
+        qmax_b = jnp.broadcast_to(
+            jnp.asarray(q_max, dtype).reshape(-1), (b, tn, spec.dof))
     return GraphParams(
         start=start.astype(dtype),
         goal=goal.astype(dtype),
@@ -625,4 +672,7 @@ def default_params(
         v_lim=v_lim,
         self_inv=self_inv,
         self_eps=self_eps,
+        jl_inv=jl_inv,
+        q_min=qmin_b,
+        q_max=qmax_b,
     )

@@ -101,6 +101,7 @@ class StreamStatic(struct.PyTreeNode):
     dyn_w_s: Optional[jnp.ndarray] = None  # (T+1, 1, S, L)
     vel_w_s: Optional[jnp.ndarray] = None  # (T+1, dof·dof, S, L)
     self_w_s: Optional[jnp.ndarray] = None  # (T+1, P·P, S, L) diag Λ_self
+    jl_w_s: Optional[jnp.ndarray] = None  # (T+1, dof·dof, S, L)
 
 
 def _pad_time(x: jnp.ndarray, tpad: int, fill: Optional[jnp.ndarray] = None):
@@ -165,13 +166,16 @@ def build_stream_static(
     l = spec.nlinks
     obs_w_s = stream(jnp.broadcast_to(
         params.obs_inv, (b, t1, l, l)).astype(dtype), b)
-    dyn_w_s = vel_w_s = self_w_s = None
+    dyn_w_s = vel_w_s = self_w_s = jl_w_s = None
     if spec.non_holonomic:
         dyn_w_s = stream(jnp.broadcast_to(
             params.dyn_inv, (b, t1)).astype(dtype)[..., None], b)
     if spec.use_vel_limits:
         vel_w_s = stream(jnp.broadcast_to(
             params.vel_inv, (b, t1, spec.dof, spec.dof)).astype(dtype), b)
+    if spec.use_joint_limits:
+        jl_w_s = stream(jnp.broadcast_to(
+            params.jl_inv, (b, t1, spec.dof, spec.dof)).astype(dtype), b)
     if spec.use_self_collision:
         p = spec.num_self_pairs
         lam_self = (jnp.eye(p, dtype=dtype)
@@ -180,7 +184,8 @@ def build_stream_static(
     return StreamStatic(diag_p=diag_p, off_s=off_s, offp_p=offp_p,
                         offf_p=offf_p, phiT_q_s=phiT_q_s, q_inv_s=q_inv_s,
                         ks_s=ks_s, kg_s=kg_s, obs_w_s=obs_w_s,
-                        dyn_w_s=dyn_w_s, vel_w_s=vel_w_s, self_w_s=self_w_s)
+                        dyn_w_s=dyn_w_s, vel_w_s=vel_w_s, self_w_s=self_w_s,
+                        jl_w_s=jl_w_s)
 
 
 def _interp_deltas(spec, params, res, dtype):
@@ -263,6 +268,12 @@ def stream_step(
         h_vel_s = stream(res.h_vel.astype(dtype), b)
         r_vel_s = stream(res.r_vel.astype(dtype), b)
         d_add, r_add = _rows_gauss(h_vel_s, ss.vel_w_s, r_vel_s, spec.dof, d)
+        diag = diag.at[:t1].add(d_add)
+        rhs = rhs.at[:t1].add(r_add)
+    if spec.use_joint_limits:
+        h_jl_s = stream(res.h_jl.astype(dtype), b)
+        r_jl_s = stream(res.r_jl.astype(dtype), b)
+        d_add, r_add = _rows_gauss(h_jl_s, ss.jl_w_s, r_jl_s, spec.dof, d)
         diag = diag.at[:t1].add(d_add)
         rhs = rhs.at[:t1].add(r_add)
     if spec.use_self_collision:

@@ -86,6 +86,9 @@ class DiffGPMP2Planner:
             v_y=gp.get("v_y"),
             k_self=gp.get("K_self"),
             eps_self=obs.get("self_collision_eps", 0.05),
+            k_jl=gp.get("K_jl"),
+            q_min=gp.get("q_min"),
+            q_max=gp.get("q_max"),
             dtype=self.dtype,
         )
 

@@ -79,6 +79,7 @@ def spec_from_params(planner_params, env_data, robot) -> GraphSpec:
         use_self_collision=bool(planner_params.get("use_self_collision",
                                                    False)),
         self_pairs=self_pairs,
+        use_joint_limits=bool(planner_params.get("use_joint_limits", False)),
     )
 
 
