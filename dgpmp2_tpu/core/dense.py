@@ -10,7 +10,8 @@ Builds the same ``A (M×N)``, ``b (M)``, ``K (M×M)`` matrices the reference's
     rows [D·(T+2), D·(T+2)+(T+1)·L)   obstacle factors
     then nonholonomic (1 row/state), then velocity limits (dof rows/state),
     then joint limits (dof rows/state), then self-collision pairs
-    (P rows/state), then interpolated obstacles
+    (P rows/state), then the terminal workspace goal (wksp_dim rows),
+    then interpolated obstacles
 
 Used by the test-suite to prove ``blocktridiag(assemble(...)) == AᵀKA`` and
 ``rhs == AᵀKb`` and by anyone extending the factor library who wants a
@@ -131,6 +132,16 @@ def assemble_dense(spec, robot, params, th, sdf):
             b = b.at[r0 : r0 + p].set(r_self[i])
             K = K.at[r0 : r0 + p, r0 : r0 + p].set(jnp.diag(params.self_inv[i]))
         off += tn * p
+
+    if spec.use_workspace_goal:
+        centers_w, jac_w = robot.fk(th[-1])
+        r_wg, h_wg = factors.workspace_goal_residual(centers_w, jac_w,
+                                                     params.p_goal)
+        w = robot.wksp_dim
+        A = A.at[off : off + w, n - d : n].set(h_wg)
+        b = b.at[off : off + w].set(r_wg)
+        K = K.at[off : off + w, off : off + w].set(params.wg_inv)
+        off += w
 
     if spec.use_gp_inter:
         # Binary interpolated obstacle rows: H_t = h·Λ_k, H_{t+1} = h·Ψ_k.

@@ -328,3 +328,21 @@ def joint_limit_residual(th: jnp.ndarray, q_min: jnp.ndarray,
         [h_q, jnp.zeros((*h_q.shape[:-1], d - dof), th.dtype)], axis=-1
     )
     return r, h
+
+
+def workspace_goal_residual(centers_end, jac_end, p_goal):
+    """End-effector workspace goal: anchor the LAST body sphere (the tip)
+    of the terminal state to a workspace point — task-space goals without
+    explicit IK (the original GPMP2 C++ workspace factors' capability;
+    dGPMP2 only supports joint-space goals, ``prior_factor.py:15``).
+
+        r = p_goal − tip(q_T)    with A-row H = J_tip = −∂r/∂x.
+
+    Args:
+      centers_end: (..., L, W) terminal-state sphere centers.
+      jac_end:     (..., L, W, D) terminal-state FK Jacobians.
+      p_goal:      (..., W) workspace target.
+
+    Returns r (..., W) and H (..., W, D).
+    """
+    return p_goal - centers_end[..., -1, :], jac_end[..., -1, :, :]

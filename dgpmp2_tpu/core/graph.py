@@ -90,6 +90,9 @@ class GraphSpec:
     # Per-joint position-limit hinges (companion of use_vel_limits; the
     # original GPMP2 C++ has the analogous JointLimitFactor).
     use_joint_limits: bool = False
+    # Terminal end-effector workspace goal (task-space targets without
+    # explicit IK — GPMP2-C++ workspace-factor capability).
+    use_workspace_goal: bool = False
 
     @property
     def num_self_pairs(self) -> int:
@@ -118,6 +121,8 @@ class GraphSpec:
             m += self.dof * self.num_traj_states
         if self.use_joint_limits:
             m += self.dof * self.num_traj_states
+        if self.use_workspace_goal:
+            m += 2  # wksp_dim rows at the terminal state
         if self.use_self_collision:
             m += self.num_self_pairs * self.num_traj_states
         if self.use_gp_inter:
@@ -156,6 +161,8 @@ class GraphParams(struct.PyTreeNode):
       jl_inv:  (B, T+1, dof, dof) joint-limit inverse covs (None unless
                enabled).
       q_min, q_max: (B, T+1, dof) per-joint position limits.
+      wg_inv:  (B, W, W) workspace-goal inverse covariance.
+      p_goal:  (B, W) workspace end-effector target.
     """
 
     start: jnp.ndarray
@@ -173,6 +180,8 @@ class GraphParams(struct.PyTreeNode):
     jl_inv: Optional[jnp.ndarray] = None
     q_min: Optional[jnp.ndarray] = None
     q_max: Optional[jnp.ndarray] = None
+    wg_inv: Optional[jnp.ndarray] = None
+    p_goal: Optional[jnp.ndarray] = None
 
 
 class FactorResiduals(struct.PyTreeNode):
@@ -200,6 +209,8 @@ class FactorResiduals(struct.PyTreeNode):
     h_self: Optional[jnp.ndarray] = None  # (B, T+1, P, D)
     r_jl: Optional[jnp.ndarray] = None  # (B, T+1, dof) joint-limit hinge
     h_jl: Optional[jnp.ndarray] = None  # (B, T+1, dof, D)
+    r_wg: Optional[jnp.ndarray] = None  # (B, W) terminal workspace goal
+    h_wg: Optional[jnp.ndarray] = None  # (B, W, D)
 
 
 def eval_residuals(
@@ -263,12 +274,17 @@ def eval_residuals(
             centers, jac_fk, robot.radii_array(dtype),
             pairs[:, 0], pairs[:, 1], params.self_eps,
         )
+    r_wg = h_wg = None
+    if spec.use_workspace_goal:
+        r_wg, h_wg = factors.workspace_goal_residual(
+            centers[..., -1, :, :], jac_fk[..., -1, :, :, :], params.p_goal
+        )
     return FactorResiduals(r_gp=r_gp, r_s=r_s, r_g=r_g, r_obs=r_obs,
                            h_obs=h_obs, r_dyn=r_dyn, h_dyn=h_dyn,
                            r_vel=r_vel, h_vel=h_vel,
                            r_obsi=r_obsi, h_obsi=h_obsi,
                            r_self=r_self, h_self=h_self,
-                           r_jl=r_jl, h_jl=h_jl)
+                           r_jl=r_jl, h_jl=h_jl, r_wg=r_wg, h_wg=h_wg)
 
 
 class StaticBlocks(struct.PyTreeNode):
@@ -398,6 +414,19 @@ def assemble_from_residuals(
         )
         rhs = rhs + jnp.sum(lam_hs * r_sc[..., None], axis=-2)
 
+    # --- Terminal workspace goal (unary at the last state) ---------------
+    if spec.use_workspace_goal:
+        h_wg = res.h_wg  # (B, W, D)
+        lam_hw = jnp.sum(
+            params.wg_inv[..., :, :, None] * h_wg[..., None, :, :], axis=-2
+        )  # (B, W, D)
+        diag = diag.at[..., -1, :, :].add(
+            jnp.sum(h_wg[..., :, :, None] * lam_hw[..., :, None, :], axis=-3)
+        )
+        rhs = rhs.at[..., -1, :].add(
+            jnp.sum(lam_hw * res.r_wg[..., None], axis=-2)
+        )
+
     # --- GP-interpolated obstacle factors (binary: couple x_t, x_{t+1}) --
     if spec.use_gp_inter:
         # H wrt supports chains through the interpolation matrices:
@@ -480,6 +509,8 @@ def error_from_residuals(
         )
     if spec.use_self_collision:
         err += 0.5 * jnp.sum(params.self_inv * res.r_self**2, axis=(-2, -1))
+    if spec.use_workspace_goal:
+        err += 0.5 * jnp.sum(_mv(params.wg_inv, res.r_wg) * res.r_wg, axis=-1)
     if spec.use_gp_inter:
         w = obs_inv[..., :-1, None, :, :]
         err += 0.5 * jnp.sum(
@@ -558,6 +589,8 @@ def linear_error(
         parts.append(res.r_jl.reshape(*batch, -1))
     if spec.use_self_collision:
         parts.append(res.r_self.reshape(*batch, -1))
+    if spec.use_workspace_goal:
+        parts.append(res.r_wg)
     if spec.use_gp_inter:
         parts.append(res.r_obsi.reshape(*batch, -1))
     return jnp.concatenate(parts, axis=-1)
@@ -598,6 +631,8 @@ def default_params(
     k_jl=None,
     q_min=None,
     q_max=None,
+    k_wg=None,
+    workspace_goal=None,
     dtype=jnp.float32,
 ) -> GraphParams:
     """Build fixed-covariance GraphParams from reference YAML scalars.
@@ -649,6 +684,14 @@ def default_params(
         p = spec.num_self_pairs
         self_inv = jnp.full((b, tn, p), 1.0 / jnp.asarray(k_self, dtype) ** 2)
         self_eps = jnp.full((b, tn, p), jnp.asarray(eps_self, dtype))
+    wg_inv = p_goal_b = None
+    if spec.use_workspace_goal:
+        w = robot.wksp_dim
+        wg_inv = jnp.broadcast_to(
+            jnp.eye(w, dtype=dtype) / jnp.asarray(k_wg, dtype) ** 2, (b, w, w)
+        )
+        p_goal_b = jnp.broadcast_to(
+            jnp.asarray(workspace_goal, dtype), (b, w))
     jl_inv = qmin_b = qmax_b = None
     if spec.use_joint_limits:
         jl_inv = jnp.broadcast_to(
@@ -675,4 +718,6 @@ def default_params(
         jl_inv=jl_inv,
         q_min=qmin_b,
         q_max=qmax_b,
+        wg_inv=wg_inv,
+        p_goal=p_goal_b,
     )

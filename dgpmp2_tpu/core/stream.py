@@ -284,6 +284,19 @@ def stream_step(
         diag = diag.at[:t1].add(d_add)
         rhs = rhs.at[:t1].add(r_add)
 
+    # --- Terminal workspace goal (unary at the last state) ---------------
+    if spec.use_workspace_goal:
+        h_wg = res.h_wg  # (B, W, D)
+        lam_hw = jnp.sum(
+            params.wg_inv[..., :, :, None] * h_wg[..., None, :, :], axis=-2
+        )
+        hTlh = jnp.sum(
+            h_wg[..., :, :, None] * lam_hw[..., :, None, :], axis=-3
+        )  # (B, D, D)
+        hTlr = jnp.sum(lam_hw * res.r_wg[..., None], axis=-2)  # (B, D)
+        diag = diag.at[t1 - 1].add(stream(hTlh[:, None].astype(dtype), b)[0])
+        rhs = rhs.at[t1 - 1].add(stream(hTlr[:, None].astype(dtype), b)[0])
+
     # --- GP-interpolated obstacle factors (touch the off-diagonal) -------
     offp_p, offf_p = ss.offp_p, ss.offf_p
     if spec.use_gp_inter:

@@ -66,9 +66,12 @@ class DiffGPMP2Planner:
 
     # -- parameter construction -------------------------------------------
 
-    def make_params(self, start, goal) -> graph.GraphParams:
+    def make_params(self, start, goal,
+                    workspace_goal=None) -> graph.GraphParams:
         """Fixed-covariance GraphParams from the YAML scalars for a batch of
-        (start, goal) pairs shaped (B, D)."""
+        (start, goal) pairs shaped (B, D).  ``workspace_goal`` (B, W)
+        supplies the end-effector target when the spec enables
+        ``use_workspace_goal``."""
         gp, obs = self.gp_params, self.obs_params
         return graph.default_params(
             self.spec,
@@ -89,6 +92,8 @@ class DiffGPMP2Planner:
             k_jl=gp.get("K_jl"),
             q_min=gp.get("q_min"),
             q_max=gp.get("q_max"),
+            k_wg=gp.get("K_wg"),
+            workspace_goal=workspace_goal,
             dtype=self.dtype,
         )
 

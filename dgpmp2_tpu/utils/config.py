@@ -80,6 +80,8 @@ def spec_from_params(planner_params, env_data, robot) -> GraphSpec:
                                                    False)),
         self_pairs=self_pairs,
         use_joint_limits=bool(planner_params.get("use_joint_limits", False)),
+        use_workspace_goal=bool(planner_params.get("use_workspace_goal",
+                                                   False)),
     )
 
 
