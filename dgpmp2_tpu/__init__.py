@@ -20,7 +20,7 @@ from dgpmp2_tpu.robots import (
 )
 from dgpmp2_tpu.serve import (
     LearnedPlanningAdapter, MultistartPlanningAdapter, PlanningService,
-    PlanRequest, PlanResponse,
+    PlanRequest, PlanResponse, TaskSpacePlanningAdapter,
 )
 
 __version__ = "0.2.0"

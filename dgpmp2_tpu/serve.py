@@ -183,6 +183,54 @@ class MultistartPlanningAdapter:
         )
 
 
+class TaskSpacePlanningAdapter:
+    """Serve workspace end-effector goals (``GraphSpec.use_workspace_goal``)
+    through ``PlanningService`` with the UNCHANGED request schema: the
+    request's ``goal`` state carries the workspace target in its first
+    ``wksp_dim`` components (remaining components ignored), the joint-space
+    goal prior is effectively disabled, and the planner solves the implied
+    IK inside the same GN iteration — so an arm client submits
+    (start_config, target_point, world) and gets a full joint trajectory.
+
+    ``cov_scalars`` must include ``k_wg`` (workspace-goal weight); optional
+    ``k_jl``/``q_min``/``q_max`` and ``k_self``/``eps_self`` engage the
+    joint-limit and self-collision factors when the spec enables them.
+    """
+
+    def __init__(self, spec, robot, cov_scalars: dict, optim_cfg=None,
+                 k_goal_off: float = 100.0, dtype=jnp.float32):
+        from .core import gn
+
+        if not spec.use_workspace_goal:
+            raise ValueError("spec must enable use_workspace_goal")
+        self._gn = gn
+        self.spec = spec
+        self.robot = robot
+        self.cov = dict(cov_scalars)
+        self.cfg = optim_cfg or gn.OptimConfig(reg=0.1, max_iters=50)
+        self.k_goal_off = k_goal_off
+        self.dtype = dtype
+
+    def plan(self, th0, start, goal, sdf):
+        w = self.robot.wksp_dim
+        cov = dict(self.cov)
+        k_wg = cov.pop("k_wg")
+        cov.pop("k_g", None)  # joint goal prior replaced by k_goal_off
+        params = graph.default_params(
+            self.spec, self.robot, start, start, **cov,
+            k_g=self.k_goal_off,  # joint goal prior ~off: target rules
+            k_wg=k_wg, workspace_goal=goal[..., :w], dtype=self.dtype,
+        )
+        # No track_best: its best-iterate criterion (contact-free + lowest
+        # gp-error) presumes goal-anchored iterates — under a task-space
+        # goal the unmoved seed would win.  Return the converged iterate.
+        res = self._gn.plan(self.spec, self.robot, params, th0, sdf,
+                            self.cfg)
+        iters = jnp.full(res.th.shape[:1], self.cfg.max_iters, jnp.int32)
+        return _AdapterResult(th=res.th, err_init=res.err_init,
+                              err_final=res.err_final, iters=iters)
+
+
 class PlanningService:
     """Micro-batching front end over a batched planner.
 

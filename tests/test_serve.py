@@ -263,3 +263,40 @@ def test_submit_before_start_raises(planner, world):
 
     with pytest.raises(RuntimeError):
         asyncio.run(run())
+
+
+def test_taskspace_adapter_serves_workspace_goals(world):
+    """Task-space serving: the request's goal state carries the workspace
+    tip target; the adapter plans the arm to it with no IK in the
+    request."""
+    from dgpmp2_tpu.core import graph
+    from dgpmp2_tpu.robots import PlanarArm2Link
+    from dgpmp2_tpu.serve import TaskSpacePlanningAdapter
+
+    arm = PlanarArm2Link(link_lengths=(2.5, 2.0), spheres_per_link=3,
+                         sphere_radii=(0.25,) * 6)
+    spec = graph.GraphSpec(total_time_step=15, nlinks=arm.nlinks,
+                           use_workspace_goal=True)
+    cov = dict(qc_inv=np.eye(2), cost_sigma=0.5, epsilon_dist=0.2,
+               k_s=0.001, k_wg=0.01)
+    adapter = TaskSpacePlanningAdapter(spec, arm, cov, dtype=jnp.float64)
+    svc = PlanningService(adapter, batch_size=4, window_ms=1.0)
+
+    # Free world (the canned obstacle sits where the arm sweeps).
+    free = np.full((32, 32), 10.0)
+    targets = np.array([[2.0, 2.5], [-1.0, 3.0], [3.0, -1.5]])
+    reqs = [
+        PlanRequest(
+            start=np.array([0.2, 0.0, 0.0, 0.0]),
+            goal=np.concatenate([t, [0.0, 0.0]]),
+            sdf=free,
+        )
+        for t in targets
+    ]
+    out = svc.plan_batch_sync(reqs)
+    assert len(out) == 3
+    for resp, target in zip(out, targets):
+        th_end = jnp.asarray(resp.th[-1])[None]
+        centers, _ = arm.fk(th_end)
+        tip = np.asarray(centers[0, -1])
+        assert np.linalg.norm(tip - target) < 0.1, (tip, target)
