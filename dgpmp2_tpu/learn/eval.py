@@ -54,6 +54,19 @@ def evaluate_batch(
         "sg_error": np.asarray(err_sg),
         "obs_error": np.asarray(err_obs),
     }
+    if spec.use_self_collision:
+        # Body-pair penetration of true contact (d < r_i + r_j) — the
+        # articulated analog of in_contact/max_penetration.
+        pairs = jnp.asarray(spec.self_pairs, jnp.int32)
+        centers, _ = robot.fk(th_final)
+        radii = robot.radii_array(th_final.dtype)
+        dist = jnp.sqrt(jnp.sum(
+            (centers[..., pairs[:, 0], :] - centers[..., pairs[:, 1], :])
+            ** 2, axis=-1) + 1e-12)
+        pen = jnp.maximum(radii[pairs[:, 0]] + radii[pairs[:, 1]] - dist, 0.0)
+        pen_int = pen[:, 1:-1, :]  # interior states, like collision_metrics
+        out["in_self_contact"] = np.asarray(jnp.any(pen_int > 0, axis=(1, 2)))
+        out["max_self_penetration"] = np.asarray(jnp.max(pen_int, axis=(1, 2)))
     if th_opt is not None:
         dof = spec.dof
         out["pos_mse"] = np.asarray(
@@ -79,6 +92,10 @@ def summarize(per_problem: Dict[str, np.ndarray]) -> Dict[str, float]:
     if "in_contact" in per_problem:
         s["contact_free_rate"] = float(
             np.mean(~per_problem["in_contact"].astype(bool))
+        )
+    if "in_self_contact" in per_problem:
+        s["self_contact_free_rate"] = float(
+            np.mean(~per_problem["in_self_contact"].astype(bool))
         )
     return s
 

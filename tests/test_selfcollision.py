@@ -247,3 +247,29 @@ def test_multistart_selection_penalizes_self_collision():
     # Without the factor configured the tangle is invisible to selection.
     _, contact_plain = score_candidates(spec_plain, ARM3, th, sdfb)
     assert float(contact_plain[1]) == 0.0
+
+
+def test_eval_metrics_cover_self_collision():
+    """evaluate_batch reports body-pair contact when the factor spec is
+    configured; the learned-planner stack plans under the same spec."""
+    from dgpmp2_tpu.learn.eval import evaluate_batch, summarize
+
+    d = ARM3.state_dim
+    spec = graph.GraphSpec(total_time_step=10, dof=ARM3.dofs, state_dim=d,
+                           nlinks=ARM3.nlinks, use_self_collision=True,
+                           self_pairs=PAIRS)
+    sdfb = jnp.broadcast_to(_free_sdf(), (2, 32, 32))
+    start = jnp.zeros((2, d), jnp.float64)
+    goal = jnp.zeros((2, d), jnp.float64)
+    params = graph.default_params(
+        spec, ARM3, start, goal, qc_inv=np.eye(ARM3.dofs), cost_sigma=0.5,
+        epsilon_dist=0.2, k_s=0.01, k_g=0.01, k_self=0.05, eps_self=0.05,
+        dtype=jnp.float64)
+    # problem 0: extended (clear); problem 1: held at the tangled fold
+    th = jnp.zeros((2, 11, d), jnp.float64).at[1, :, 1].set(2.7)
+    m = evaluate_batch(spec, ARM3, params, th, None, sdfb)
+    assert not bool(m["in_self_contact"][0])
+    assert bool(m["in_self_contact"][1])
+    assert float(m["max_self_penetration"][1]) > 0.05
+    s = summarize(m)
+    assert s["self_contact_free_rate"] == 0.5
