@@ -154,18 +154,30 @@ def plan_multistart(
             f"max_iters={cfg.max_iters}, keep={keep}, restarts={restarts}"
         )
 
+    # Under a workspace goal the track_best criterion (contact-free +
+    # lowest gp-error) presumes goal-anchored iterates — the unmoved seed
+    # would win — so each candidate is represented by its FINAL iterate
+    # and selection scores tip-target attainment (score_candidates).
+    wg = spec.use_workspace_goal
+    track = not wg
+
+    def rep(res):
+        return res.th if wg else res.best_th
+
     if not staged:
-        th = gn.plan(spec, robot, params_t, th0s, sdf_t, cfg, unroll=unroll,
-                     track_best=True).best_th
-        return select_best(spec, robot, th, sdf_t, restarts, b,
-                           contact_weight=contact_weight)
+        res = gn.plan(spec, robot, params_t, th0s, sdf_t, cfg,
+                      unroll=unroll, track_best=track)
+        return select_best(spec, robot, rep(res), sdf_t, restarts, b,
+                           contact_weight=contact_weight,
+                           params_t=params_t if wg else None)
 
     # Phase 1: all K seeds, prune_iters iterations.
     res1 = gn.plan(spec, robot, params_t, th0s, sdf_t,
                    dataclasses.replace(cfg, max_iters=prune_iters), unroll=unroll,
-                   track_best=True)
-    score1, _ = score_candidates(spec, robot, res1.best_th, sdf_t,
-                                 contact_weight)
+                   track_best=track)
+    score1, _ = score_candidates(spec, robot, rep(res1), sdf_t,
+                                 contact_weight,
+                                 params=params_t if wg else None)
     # Per-problem top-`keep` (lowest score): (K, B) -> idx (B, keep).
     _, idx = jax.lax.top_k(-score1.reshape(restarts, b).T, keep)
 
@@ -179,20 +191,29 @@ def plan_multistart(
 
     # Phase 2: survivors resume from their phase-1 FINAL iterate.
     sdf_k = jnp.tile(sdf, (keep, 1, 1))
+    params_k = tile_params(params, b, keep)
     res2 = gn.plan(
-        spec, robot, tile_params(params, b, keep), gather(res1.th), sdf_k,
+        spec, robot, params_k, gather(res1.th), sdf_k,
         dataclasses.replace(cfg, max_iters=cfg.max_iters - prune_iters), unroll=unroll,
-        track_best=True,
+        track_best=track,
     )
     # Select over each survivor's phase-1 best AND phase-2 best.
-    pool = jnp.concatenate([gather(res1.best_th), res2.best_th], axis=0)
+    pool = jnp.concatenate([gather(rep(res1)), rep(res2)], axis=0)
     return select_best(spec, robot, pool, jnp.tile(sdf, (2 * keep, 1, 1)),
-                       2 * keep, b, contact_weight=contact_weight)
+                       2 * keep, b, contact_weight=contact_weight,
+                       params_t=tile_params(params, b, 2 * keep) if wg
+                       else None)
 
 
-def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6):
+def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6,
+                     params=None):
     """(N, T+1, D) candidates against (N, H, W) SDFs -> (score (N,),
     contact (N,)): contact depth dominates, smoothness breaks ties.
+
+    Under ``spec.use_workspace_goal`` pass the (tiled) ``params``: the
+    terminal tip-to-target error joins the score between contact and
+    smoothness (weight 1e2) — without it selection is goal-attainment
+    blind and an unmoved-but-smooth candidate would win.
 
     Uses the backend-dispatched SDF lookup (the raw gather path costs
     ~5 ms at B=1024 on a v5e vs ~0.7 ms dispatched; ``ops/sdf.py``).
@@ -240,19 +261,30 @@ def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6):
     vel = th[..., spec.dof:]
     smooth = jnp.mean(jnp.sum(jnp.diff(vel, axis=-2) ** 2, -1), -1)
     score = contact * contact_weight + smooth
+    if spec.use_workspace_goal:
+        if params is None:
+            raise ValueError(
+                "use_workspace_goal selection needs params (the tiled "
+                "GraphParams with p_goal) — without the tip-target error "
+                "the scoring is goal-attainment blind")
+        tip = centers[:, -1, -1, :]  # terminal-state tip
+        wg_err = jnp.sum((params.p_goal - tip) ** 2, axis=-1)
+        score = score + 1e2 * wg_err
     # NaN-safe: argmin/top_k would otherwise propagate a diverged seed's
     # NaN over every valid candidate.
     return jnp.where(jnp.isnan(score), jnp.inf, score), contact
 
 
 def select_best(spec, robot, th, sdf_t, restarts: int, b: int,
-                contact_weight: float = 1e6) -> MultistartResult:
+                contact_weight: float = 1e6,
+                params_t=None) -> MultistartResult:
     """Select the winning candidate per problem from (K·B) planned
     trajectories (K-major, matching :func:`plan_multistart`'s tiling) —
     exposed separately so any planner (e.g. the learned-covariance one)
-    can compose with multi-start seeds."""
+    can compose with multi-start seeds.  ``params_t``: the K-tiled
+    GraphParams, required under ``spec.use_workspace_goal``."""
     score, contact = score_candidates(spec, robot, th, sdf_t,
-                                      contact_weight)
+                                      contact_weight, params=params_t)
     score_kb = score.reshape(restarts, b)
     th_kb = th.reshape(restarts, b, *th.shape[1:])
     k_best = jnp.argmin(score_kb, axis=0)

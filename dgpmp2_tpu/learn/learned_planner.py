@@ -443,6 +443,14 @@ class LearnedDiffGPMP2Planner:
             perturbed_inits, score_candidates, select_best, tile_params,
         )
 
+        if self.spec.use_workspace_goal:
+            # track_best + the contact/smoothness score are goal-blind
+            # under a workspace goal (core.multistart handles it via
+            # final-iterate pools + tip-error scoring); the learned path
+            # has no trained configs for that setting yet.
+            raise NotImplementedError(
+                "plan_multistart does not support use_workspace_goal "
+                "specs; use core.multistart.plan_multistart")
         iters = max_iters or self.cfg.max_iters
         staged = prune_iters > 0 or keep > 0
         if staged and not (0 < prune_iters < iters and 0 < keep <= restarts):

@@ -120,3 +120,55 @@ def test_arm_reaches_workspace_target_without_ik():
     # start still anchored in joint space
     np.testing.assert_allclose(np.asarray(r.th[:, 0, :2]),
                                np.asarray(start[:, :2]), atol=1e-2)
+
+
+def test_multistart_selection_is_goal_aware():
+    """Under a workspace-goal spec, multistart scores tip-target
+    attainment: a smooth unmoved candidate loses to one that reaches."""
+    from dgpmp2_tpu.core.multistart import plan_multistart, score_candidates
+
+    d = ARM.state_dim
+    spec = graph.GraphSpec(total_time_step=12, nlinks=ARM.nlinks,
+                           use_workspace_goal=True)
+    sdfb = jnp.broadcast_to(_free_sdf(), (1, 32, 32))
+    start = jnp.zeros((1, d), jnp.float64).at[0, 0].set(0.2)
+    target = jnp.asarray([[2.0, 2.5]], jnp.float64)
+    params = graph.default_params(
+        spec, ARM, start, start, qc_inv=np.eye(2), cost_sigma=0.5,
+        epsilon_dist=0.2, k_s=0.001, k_g=100.0, k_wg=0.01,
+        workspace_goal=target, dtype=jnp.float64,
+    )
+    # Direct scoring check: unmoved (smooth) vs reaching candidate.
+    th_stay = jnp.broadcast_to(
+        jnp.concatenate([start[0, :2], jnp.zeros(2)])[None, :], (13, d)
+    )[None]
+    # A config whose tip is near the target (solved separately offline):
+    # use GN itself to produce it.
+    r0 = gn.plan(spec, ARM, params,
+                 straight_line_traj(start[:, :2], start[:, :2], 10.0, 12),
+                 sdfb, gn.OptimConfig(reg=0.1, max_iters=40))
+    both = jnp.concatenate([th_stay, r0.th], axis=0)
+    score, _ = score_candidates(spec, ARM, both,
+                                jnp.tile(sdfb, (2, 1, 1)),
+                                params=graph.GraphParams(
+                                    **{**params.__dict__,
+                                       "p_goal": jnp.tile(params.p_goal,
+                                                          (2, 1)),
+                                       "wg_inv": jnp.tile(params.wg_inv,
+                                                          (2, 1, 1))}))
+    assert float(score[1]) < float(score[0])
+
+    # End-to-end: plan_multistart returns a reaching trajectory.
+    res = plan_multistart(spec, ARM, params,
+                          straight_line_traj(start[:, :2], start[:, :2],
+                                             10.0, 12),
+                          sdfb, gn.OptimConfig(reg=0.1, max_iters=40),
+                          jax.random.PRNGKey(0), restarts=4, amp=0.6)
+    centers, _ = ARM.fk(res.th)
+    tip = np.asarray(centers[0, -1, -1])
+    assert np.linalg.norm(tip - np.asarray(target[0])) < 0.1
+
+    # Selection without params under a wg spec is refused loudly.
+    import pytest
+    with pytest.raises(ValueError):
+        score_candidates(spec, ARM, both, jnp.tile(sdfb, (2, 1, 1)))
