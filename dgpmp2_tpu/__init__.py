@@ -16,7 +16,7 @@ from dgpmp2_tpu.envs import Env2D
 from dgpmp2_tpu.planner import DiffGPMP2Planner, GPMP2Planner
 from dgpmp2_tpu.robots import (
     PlanarArm2Link, PlanarArmNLink, PointRobot2D, PointRobotXYH, RobotModel,
-    make_robot,
+    make_robot, self_collision_pairs,
 )
 from dgpmp2_tpu.serve import (
     LearnedPlanningAdapter, MultistartPlanningAdapter, PlanningService,
