@@ -362,57 +362,45 @@ def assemble_from_residuals(
     rhs = rhs.at[..., 0, :].add(_mv(params.ks_inv, res.r_s))
     rhs = rhs.at[..., -1, :].add(_mv(params.kg_inv, res.r_g))
 
-    # --- Obstacle factors (unary) ----------------------------------------
-    r_obs, h_obs = res.r_obs, res.h_obs  # (B, T+1, L), (B, T+1, L, D)
-    # λH per sphere, then Σ_l outer products (L is tiny and static).
-    lam_h = jnp.sum(
-        params.obs_inv[..., :, :, None] * h_obs[..., None, :, :], axis=-2
-    )  # (B, T+1, L, D)
-    diag = diag + jnp.sum(
-        h_obs[..., :, :, None] * lam_h[..., :, None, :], axis=-3
-    )
-    rhs = rhs + jnp.sum(lam_h * r_obs[..., None], axis=-2)
+    def unary_gauss(diag, rhs, h, r, lam_h):
+        """Per-state Gauss terms of a unary factor with K residual rows:
+        diag += Σ_k h_k ⊗ (Λh)_k ; rhs += Σ_k (Λh)_k·r_k — every unary
+        factor shares this shape; only Λh differs by weight structure."""
+        diag = diag + jnp.sum(
+            h[..., :, :, None] * lam_h[..., :, None, :], axis=-3
+        )
+        rhs = rhs + jnp.sum(lam_h * r[..., None], axis=-2)
+        return diag, rhs
+
+    def lam_full(w, h):  # full (K, K) inverse covariance
+        return jnp.sum(w[..., :, :, None] * h[..., None, :, :], axis=-2)
+
+    # --- Obstacle factors (unary; L is tiny and static) -------------------
+    diag, rhs = unary_gauss(diag, rhs, res.h_obs, res.r_obs,
+                            lam_full(params.obs_inv, res.h_obs))
 
     # --- Nonholonomic constraint (unary, scalar residual) ----------------
     if spec.non_holonomic:
-        r_dyn, h_dyn = res.r_dyn, res.h_dyn  # (B,T+1), (B,T+1,D)
-        w = params.dyn_inv  # (B, T+1)
-        diag = diag + w[..., None, None] * (
-            h_dyn[..., :, None] * h_dyn[..., None, :]
+        h_dyn = res.h_dyn[..., None, :]  # (B, T+1, 1, D)
+        diag, rhs = unary_gauss(
+            diag, rhs, h_dyn, res.r_dyn[..., None],
+            params.dyn_inv[..., None, None] * h_dyn,
         )
-        rhs = rhs + (w * r_dyn)[..., None] * h_dyn
 
     # --- Velocity limits (unary, dof residuals) --------------------------
     if spec.use_vel_limits:
-        r_vel, h_vel = res.r_vel, res.h_vel
-        lam_hv = jnp.sum(
-            params.vel_inv[..., :, :, None] * h_vel[..., None, :, :], axis=-2
-        )
-        diag = diag + jnp.sum(
-            h_vel[..., :, :, None] * lam_hv[..., :, None, :], axis=-3
-        )
-        rhs = rhs + jnp.sum(lam_hv * r_vel[..., None], axis=-2)
+        diag, rhs = unary_gauss(diag, rhs, res.h_vel, res.r_vel,
+                                lam_full(params.vel_inv, res.h_vel))
 
     # --- Joint position limits (unary, dof residuals) --------------------
     if spec.use_joint_limits:
-        r_jl, h_jl = res.r_jl, res.h_jl
-        lam_hj = jnp.sum(
-            params.jl_inv[..., :, :, None] * h_jl[..., None, :, :], axis=-2
-        )
-        diag = diag + jnp.sum(
-            h_jl[..., :, :, None] * lam_hj[..., :, None, :], axis=-3
-        )
-        rhs = rhs + jnp.sum(lam_hj * r_jl[..., None], axis=-2)
+        diag, rhs = unary_gauss(diag, rhs, res.h_jl, res.r_jl,
+                                lam_full(params.jl_inv, res.h_jl))
 
-    # --- Self-collision hinges (unary, P pair residuals) -----------------
+    # --- Self-collision hinges (unary, P pair residuals, diag weights) ---
     if spec.use_self_collision:
-        r_sc, h_sc = res.r_self, res.h_self  # (B,T+1,P), (B,T+1,P,D)
-        w = params.self_inv  # (B, T+1, P) diagonal weights
-        lam_hs = w[..., None] * h_sc
-        diag = diag + jnp.sum(
-            h_sc[..., :, :, None] * lam_hs[..., :, None, :], axis=-3
-        )
-        rhs = rhs + jnp.sum(lam_hs * r_sc[..., None], axis=-2)
+        diag, rhs = unary_gauss(diag, rhs, res.h_self, res.r_self,
+                                params.self_inv[..., None] * res.h_self)
 
     # --- Terminal workspace goal (unary at the last state) ---------------
     if spec.use_workspace_goal:
