@@ -300,3 +300,30 @@ def test_taskspace_adapter_serves_workspace_goals(world):
         centers, _ = arm.fk(th_end)
         tip = np.asarray(centers[0, -1])
         assert np.linalg.norm(tip - target) < 0.1, (tip, target)
+
+
+def test_dispatcher_propagates_exceptions_to_all_waiters(planner, world):
+    """A failing dispatch (here: an unregistered world) must reject every
+    coalesced waiter instead of hanging them, and the service must keep
+    serving afterwards."""
+    svc = PlanningService(planner, batch_size=4, window_ms=5.0)
+
+    async def run():
+        await svc.start()
+        bad = [
+            svc.submit(PlanRequest(
+                start=np.array([-4.0, -4.0, 0.0, 0.0]),
+                goal=np.array([4.0, 4.0, 0.0, 0.0]),
+                world="never-registered"))
+            for _ in range(3)
+        ]
+        results = await asyncio.gather(*bad, return_exceptions=True)
+        assert all(isinstance(r, Exception) for r in results)
+        # service still alive: a valid request succeeds
+        ok = await svc.submit(PlanRequest(
+            start=np.array([-4.0, -4.0, 0.0, 0.0]),
+            goal=np.array([4.0, 4.0, 0.0, 0.0]), sdf=world))
+        assert np.isfinite(ok.th).all()
+        await svc.stop()
+
+    asyncio.run(run())
