@@ -120,10 +120,9 @@ def assemble_dense(spec, robot, params, th, sdf):
 
     if spec.use_self_collision:
         pairs = jnp.asarray(spec.self_pairs, jnp.int32)
-        centers_s, jac_s = robot.fk(th)
         p = spec.num_self_pairs
         r_self, h_self = factors.self_collision_residual(
-            centers_s, jac_s, robot.radii_array(dtype),
+            centers, jac_fk, robot.radii_array(dtype),
             pairs[:, 0], pairs[:, 1], params.self_eps,
         )
         for i in range(tn):
@@ -134,8 +133,7 @@ def assemble_dense(spec, robot, params, th, sdf):
         off += tn * p
 
     if spec.use_workspace_goal:
-        centers_w, jac_w = robot.fk(th[-1])
-        r_wg, h_wg = factors.workspace_goal_residual(centers_w, jac_w,
+        r_wg, h_wg = factors.workspace_goal_residual(centers[-1], jac_fk[-1],
                                                      params.p_goal)
         w = robot.wksp_dim
         A = A.at[off : off + w, n - d : n].set(h_wg)
