@@ -273,3 +273,39 @@ def test_eval_metrics_cover_self_collision():
     assert float(m["max_self_penetration"][1]) > 0.05
     s = summarize(m)
     assert s["self_contact_free_rate"] == 0.5
+
+
+def test_shipped_arm_config_builds_full_factor_stack():
+    """configs/gpmp2_arm_params.yaml + robot_arm.yaml wire self-collision
+    and joint limits through the YAML planner end to end."""
+    import os
+
+    from dgpmp2_tpu.planner import DiffGPMP2Planner
+    from dgpmp2_tpu.utils.config import load_params
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "dgpmp2_tpu",
+                           "configs")
+    env, pp, gp, obs, opt, robot_data = load_params(
+        os.path.join(cfg_dir, "gpmp2_arm_params.yaml"),
+        os.path.join(cfg_dir, "robot_arm.yaml"),
+        os.path.join(cfg_dir, "env_2d_params.yaml"),
+    )
+    from dgpmp2_tpu.robots import make_robot
+
+    robot = make_robot(robot_data)
+    pp = dict(pp, total_time_step=12)
+    opt = dict(opt, max_iters=20)
+    planner = DiffGPMP2Planner(
+        gp, obs, pp, opt,
+        {"x_lims": env["x_lims"], "y_lims": env["y_lims"]}, robot,
+        dtype=jnp.float64)
+    assert planner.spec.use_self_collision and planner.spec.self_pairs
+    assert planner.spec.use_joint_limits
+    d = robot.state_dim
+    start = jnp.zeros((1, d), jnp.float64)
+    goal = jnp.zeros((1, d), jnp.float64).at[0, 0].set(1.2)
+    th0 = straight_line_traj(start[:, :2], goal[:, :2],
+                             pp["total_time_sec"], 12)
+    r = planner.plan(th0, start, goal, _free_sdf(64)[None])
+    th = r.th if hasattr(r, "th") else r[0]
+    assert bool(jnp.all(jnp.isfinite(th)))
