@@ -10,6 +10,8 @@ Prints ONE JSON line:
    "vs_baseline": <north_star_ms / value>}   (>1.0 means faster than target)
 """
 import json
+import subprocess
+import sys
 import time
 
 import os
@@ -66,7 +68,42 @@ def build_problem():
     return spec, robot, params, th0, sdf
 
 
+def wait_for_backend(probe_timeout_s: int = 60, retries: int = 4,
+                     retry_wait_s: int = 45) -> bool:
+    """Bounded wait for the (tunneled) TPU backend.
+
+    ``jax.devices()`` HANGS indefinitely when the axon tunnel is down, so
+    the probe runs in a subprocess with a timeout and retries for a few
+    minutes — protecting the recorded bench artifact from a transient
+    tunnel flap without ever faking a measurement.
+    """
+    for attempt in range(retries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('BACKEND_OK')"],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if "BACKEND_OK" in proc.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < retries - 1:
+            print(f"backend probe {attempt + 1}/{retries} failed; "
+                  f"retrying in {retry_wait_s}s", file=sys.stderr)
+            time.sleep(retry_wait_s)
+    return False
+
+
 def main():
+    if not wait_for_backend():
+        # Explicit failure beats a hang the driver has to kill.
+        print(json.dumps({
+            "metric": "gn_iter_ms_b1024", "value": None, "unit": "ms",
+            "error": "device backend unavailable (tunnel down?) after "
+                     "bounded retries",
+        }))
+        sys.exit(2)
     spec, robot, params, th0, sdf = build_problem()
     iters_short, iters_long = 50, 500
 
