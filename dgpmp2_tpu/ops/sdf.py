@@ -510,6 +510,14 @@ def set_lookup_method(method: str) -> None:
 
 def lookup(sdf, points, res, x_lims, y_lims):
     """Backend-dispatched bilinear lookup (see :func:`set_lookup_method`)."""
+    # Scalar hygiene: callers often pass np.float64 scalars (e.g. limits
+    # loaded from .npz) which are STRONGLY typed under jax x64 and would
+    # silently promote the whole lookup — and everything assembled from it
+    # — to float64 in CPU f32 verification runs.  Python floats are weakly
+    # typed and never promote.
+    res = float(res)
+    x_lims = (float(x_lims[0]), float(x_lims[1]))
+    y_lims = (float(y_lims[0]), float(y_lims[1]))
     # The y→row transform (py = -y_lims[0]/res − y/res, replicating the
     # reference's ``sdf_utils.bilinear_interpolate``) is only correct for
     # symmetric y limits; an asymmetric world would silently read wrong
