@@ -44,15 +44,11 @@ def build(b):
     for i in range(b):
         r, c = rng.integers(20, 90, 2)
         imgs[i, r : r + 20, c : c + 20] = 0.0
-    # The exact min-plus EDT materializes a (chunk, H, W, W) intermediate
-    # (~8.4 MB/image at 128²) — chunk the batch so SDF construction never
-    # dominates HBM (B=2048 unchunked needs 17 GB and OOMs a v5e).
-    chunks = [
-        sdf_ops.sdf_from_occupancy(jnp.asarray(imgs[i : i + 512]),
-                                   res=10.0 / IMSIZE)
-        for i in range(0, b, 512)
-    ]
-    sdf = jnp.concatenate(chunks, axis=0).astype(jnp.float32)
+    # sdf_from_occupancy chunks the min-plus intermediate internally
+    # (DGPMP2_EDT_CHUNK_MB budget), so one call is HBM-safe at any B.
+    sdf = sdf_ops.sdf_from_occupancy(
+        jnp.asarray(imgs), res=10.0 / IMSIZE
+    ).astype(jnp.float32)
     start = jnp.zeros((b, 4), jnp.float32).at[:, :2].set(
         jnp.asarray(rng.uniform(-4.5, -3.5, (b, 2)), jnp.float32))
     goal = jnp.zeros((b, 4), jnp.float32).at[:, :2].set(
@@ -83,7 +79,35 @@ def timed(spec, robot, params, th0, sdf, iters):
     return best
 
 
+def main_sdf(batches):
+    """SDF-construction throughput: occupancy images -> signed distance
+    fields on device.  The output-chunked EDT (ops/sdf.py `_edt_1d_sq`)
+    bounds the min-plus intermediate to DGPMP2_EDT_CHUNK_MB, so B=4096 at
+    128² fits one core (dense form would need 34 GB)."""
+    rng = np.random.default_rng(0)
+    for b in batches:
+        imgs = np.ones((b, IMSIZE, IMSIZE), np.float32)
+        r = rng.integers(20, 90, (b, 2))
+        for i in range(b):
+            imgs[i, r[i, 0] : r[i, 0] + 20, r[i, 1] : r[i, 1] + 20] = 0.0
+        fn = jax.jit(lambda im: sdf_ops.sdf_from_occupancy(im, res=10.0 / IMSIZE))
+        x = jnp.asarray(imgs)
+        out = fn(x)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(x).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        print(f"B={b:5d}: {best*1e3:8.1f} ms/batch  "
+              f"{b/best:9.0f} sdf/s  ({best/b*1e6:.1f} us/image, {IMSIZE}²)")
+
+
 def main():
+    if "--sdf" in sys.argv:
+        sys.argv.remove("--sdf")
+        main_sdf([int(a) for a in sys.argv[1:]] or [512, 2048, 4096])
+        return
     batches = [int(a) for a in sys.argv[1:]] or [128, 512, 1024, 2048]
     for b in batches:
         spec, robot, params, th0, sdf = build(b)

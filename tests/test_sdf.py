@@ -39,6 +39,34 @@ def test_edt_matches_scipy():
     np.testing.assert_allclose(ours, ref, atol=1e-9)
 
 
+def test_edt_chunked_matches_dense(monkeypatch):
+    """Force the output-chunked lax.map path (budget too small for the dense
+    (..., n, n) broadcast) and check bit-parity with the dense path + scipy.
+
+    Budget 92160 = 5 output rows per chunk at this shape, so n=48 exercises
+    the ragged-tail padding branch (48 = 9*5 + 3)."""
+    rng = np.random.default_rng(6)
+    imgs = np.stack([_random_image(rng) for _ in range(2)])
+    mask = imgs < 0.5
+    dense = np.asarray(sdf_ops.edt(jnp.asarray(mask)))
+    monkeypatch.setattr(sdf_ops, "_EDT_CHUNK_BYTES", 92160)
+    chunked = np.asarray(sdf_ops.edt(jnp.asarray(mask)))
+    np.testing.assert_array_equal(chunked, dense)
+    ref = np.stack([ndimage.distance_transform_edt(~m) for m in mask])
+    np.testing.assert_allclose(chunked, ref, atol=1e-9)
+    # Single-row chunks (k=1): the degenerate extreme.
+    monkeypatch.setattr(sdf_ops, "_EDT_CHUNK_BYTES", 1)
+    np.testing.assert_array_equal(np.asarray(sdf_ops.edt(jnp.asarray(mask))), dense)
+
+
+def test_sdf_chunked_under_jit(monkeypatch):
+    monkeypatch.setattr(sdf_ops, "_EDT_CHUNK_BYTES", 92160)
+    rng = np.random.default_rng(7)
+    img = _random_image(rng)
+    out = jax.jit(lambda im: sdf_ops.sdf_from_occupancy(im, res=0.1))(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(out), _ref_sdf(img, res=0.1), atol=1e-9)
+
+
 def test_sdf_from_occupancy_matches_reference():
     rng = np.random.default_rng(1)
     img = _random_image(rng)
