@@ -54,6 +54,24 @@ def evaluate_batch(
         "sg_error": np.asarray(err_sg),
         "obs_error": np.asarray(err_obs),
     }
+    if spec.use_vel_limits and params.v_lim is not None:
+        # Fraction of trajectory states with any per-axis velocity above its
+        # limit (``test_planner.py:311-322`` — strict `>` per the reference's
+        # `<= lim: continue` logic, normalized by T+1 states).
+        v = th_final[..., spec.dof :]
+        viol = jnp.any(jnp.abs(v) > params.v_lim, axis=-1)
+        out["constraint_violation"] = np.asarray(
+            jnp.mean(viol.astype(jnp.float32), axis=-1)
+        )
+    if spec.use_joint_limits and params.q_min is not None:
+        # Companion metric for the joint-limit factor (no dGPMP2 analog —
+        # GPMP2 C++ JointLimitFactor convention): fraction of states with
+        # any joint outside [q_min, q_max].
+        q = th_final[..., : spec.dof]
+        violj = jnp.any((q < params.q_min) | (q > params.q_max), axis=-1)
+        out["joint_limit_violation"] = np.asarray(
+            jnp.mean(violj.astype(jnp.float32), axis=-1)
+        )
     if spec.use_self_collision:
         # Body-pair penetration of true contact (d < r_i + r_j) — the
         # articulated analog of in_contact/max_penetration.

@@ -668,3 +668,36 @@ def test_track_best_respects_gp_interpolated_collisions():
         return np.asarray(jnp.where(colliding, jnp.inf, gp))
 
     assert np.all(score(th_best) <= score(th_final) + 1e-9)
+
+
+def test_eval_metrics_cover_velocity_and_joint_limits():
+    """constraint_violation (test_planner.py:311-322) and the companion
+    joint_limit_violation appear in evaluate_batch/summarize whenever the
+    spec carries the corresponding factor."""
+    from dgpmp2_tpu.learn.eval import evaluate_batch, summarize
+
+    spec = graph.GraphSpec(total_time_step=9, use_vel_limits=True,
+                           use_joint_limits=True)
+    start = jnp.zeros((2, 4), jnp.float64)
+    goal = jnp.zeros((2, 4), jnp.float64)
+    params = graph.default_params(
+        spec, ROBOT, start, goal, qc_inv=np.eye(2), cost_sigma=0.1,
+        epsilon_dist=0.3, k_s=0.01, k_g=0.01, k_v=0.1, v_x=1.0, v_y=1.0,
+        k_jl=0.1, q_min=[-2.0, -2.0], q_max=[2.0, 2.0], dtype=jnp.float64,
+    )
+    sdfb = jnp.full((2, 16, 16), 5.0, jnp.float64)
+    # Problem 0 obeys both limits everywhere; problem 1 exceeds v_x on 4 of
+    # 10 states and leaves the joint box on 2 of 10.
+    th = jnp.zeros((2, 10, 4), jnp.float64)
+    th = th.at[1, 3:7, 2].set(1.5)   # |v_x| = 1.5 > 1.0
+    th = th.at[1, 8:, 0].set(2.5)    # q_x = 2.5 > 2.0
+    m = evaluate_batch(spec, ROBOT, params, th, None, sdfb)
+    np.testing.assert_allclose(m["constraint_violation"], [0.0, 0.4])
+    np.testing.assert_allclose(m["joint_limit_violation"], [0.0, 0.2])
+    s = summarize(m)
+    np.testing.assert_allclose(s["avg_constraint_violation"], 0.2)
+    np.testing.assert_allclose(s["avg_joint_limit_violation"], 0.1)
+    # Boundary states (|v| == lim, q == lim) do not count as violations.
+    th_edge = jnp.zeros((2, 10, 4), jnp.float64).at[:, :, 2].set(1.0)
+    m_edge = evaluate_batch(spec, ROBOT, params, th_edge, None, sdfb)
+    np.testing.assert_allclose(m_edge["constraint_violation"], [0.0, 0.0])
