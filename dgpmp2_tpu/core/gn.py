@@ -227,6 +227,11 @@ def plan(
             # penetration between support states — a "best" iterate must
             # clear them too.
             colliding = colliding | jnp.any(res.r_obsi > 0, axis=(-3, -2, -1))
+        if res.r_self is not None:
+            # Self-collision is a collision: keeps this criterion consistent
+            # with multistart's score_candidates.
+            colliding = colliding | jnp.any(res.r_self[..., 1:-1, :] > 0,
+                                            axis=(-2, -1))
         gp_mse = jnp.mean(jnp.sum(res.r_gp**2, -1), axis=-1)
         return jnp.where(colliding, jnp.inf, gp_mse)
 

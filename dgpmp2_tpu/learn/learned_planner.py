@@ -362,6 +362,11 @@ class LearnedDiffGPMP2Planner:
                 # static opponent's selection).
                 colliding = colliding | jnp.any(res.r_obsi > 0,
                                                 axis=(-3, -2, -1))
+            if res.r_self is not None:
+                # Self-collision counts as collision (consistent with
+                # gn.plan and multistart's score_candidates).
+                colliding = colliding | jnp.any(res.r_self[..., 1:-1, :] > 0,
+                                                axis=(-2, -1))
             gp_mse = jnp.mean(jnp.sum(res.r_gp**2, -1), axis=-1)
             return jnp.where(colliding, jnp.inf, gp_mse)
 

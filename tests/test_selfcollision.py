@@ -309,3 +309,39 @@ def test_shipped_arm_config_builds_full_factor_stack():
     r = planner.plan(th0, start, goal, _free_sdf(64)[None])
     th = r.th if hasattr(r, "th") else r[0]
     assert bool(jnp.all(jnp.isfinite(th)))
+
+
+def test_track_best_excludes_self_colliding_iterates():
+    """gn.plan(track_best=True)'s best-iterate criterion must treat
+    self-penetration as a collision (consistent with multistart's
+    score_candidates): seed the plan with a tangled trajectory so early
+    iterates self-collide, then assert the tracked best is self-clear."""
+    d = ARM3.state_dim
+    spec = graph.GraphSpec(total_time_step=10, dof=ARM3.dofs, state_dim=d,
+                           nlinks=ARM3.nlinks, use_self_collision=True,
+                           self_pairs=PAIRS)
+    sdfb = jnp.broadcast_to(_free_sdf(), (1, 32, 32))
+    start = jnp.zeros((1, d), jnp.float64)
+    goal = jnp.zeros((1, d), jnp.float64).at[0, 0].set(1.0)
+    params = graph.default_params(
+        spec, ARM3, start, goal, qc_inv=np.eye(ARM3.dofs), cost_sigma=0.5,
+        epsilon_dist=0.2, k_s=0.001, k_g=0.001, k_self=0.02, eps_self=0.05,
+        dtype=jnp.float64)
+    # Tangled seed: elbow folded to 2.7 rad on interior states.
+    th0 = jnp.zeros((1, 11, d), jnp.float64).at[0, 1:-1, 1].set(2.7)
+    cfg = gn.OptimConfig(reg=0.5, max_iters=12, tol_delta=0.0)
+    res = gn.plan(spec, ARM3, params, th0, sdfb, cfg, track_best=True)
+
+    def self_pen(th):
+        pairs = jnp.asarray(PAIRS, jnp.int32)
+        centers, _ = ARM3.fk(th)
+        radii = ARM3.radii_array(th.dtype)
+        dist = jnp.sqrt(jnp.sum(
+            (centers[..., pairs[:, 0], :] - centers[..., pairs[:, 1], :]) ** 2,
+            axis=-1))
+        return jnp.max(jnp.maximum(
+            radii[pairs[:, 0]] + radii[pairs[:, 1]] - dist, 0.0)[:, 1:-1])
+
+    assert float(self_pen(th0)) > 0.0, "seed must start tangled"
+    assert bool(res.best_valid[0])
+    assert float(self_pen(res.best_th)) == 0.0
