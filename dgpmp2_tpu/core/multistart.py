@@ -87,6 +87,10 @@ class MultistartResult(NamedTuple):
     # whose order is the top-k permutation) — NOT an original restart.
     k_best: jnp.ndarray
     contact_free: jnp.ndarray  # (B,) bool: selected traj clears the radius
+    # (B,) GN iterations the winning candidate actually ran (per-problem
+    # convergence freeze; staged pruning sums phase-1 + phase-2).  None
+    # only when constructed by bare select_best.
+    iters: Optional[jnp.ndarray] = None
 
 
 def tile_params(params: graph_lib.GraphParams, b: int, k: int):
@@ -164,12 +168,20 @@ def plan_multistart(
     def rep(res):
         return res.th if wg else res.best_th
 
+    def pick_iters(iters_pool, k, k_best):
+        """Select the winner's per-problem iteration count from the
+        K-major (k·b,) candidate pool."""
+        return jnp.take_along_axis(
+            iters_pool.reshape(k, b), k_best[None, :], axis=0
+        )[0]
+
     if not staged:
         res = gn.plan(spec, robot, params_t, th0s, sdf_t, cfg,
                       unroll=unroll, track_best=track)
-        return select_best(spec, robot, rep(res), sdf_t, restarts, b,
-                           contact_weight=contact_weight,
-                           params_t=params_t if wg else None)
+        sel = select_best(spec, robot, rep(res), sdf_t, restarts, b,
+                          contact_weight=contact_weight,
+                          params_t=params_t if wg else None)
+        return sel._replace(iters=pick_iters(res.iters, restarts, sel.k_best))
 
     # Phase 1: all K seeds, prune_iters iterations.
     res1 = gn.plan(spec, robot, params_t, th0s, sdf_t,
@@ -199,10 +211,21 @@ def plan_multistart(
     )
     # Select over each survivor's phase-1 best AND phase-2 best.
     pool = jnp.concatenate([gather(rep(res1)), rep(res2)], axis=0)
-    return select_best(spec, robot, pool, jnp.tile(sdf, (2 * keep, 1, 1)),
-                       2 * keep, b, contact_weight=contact_weight,
-                       params_t=tile_params(params, b, 2 * keep) if wg
-                       else None)
+    sel = select_best(spec, robot, pool, jnp.tile(sdf, (2 * keep, 1, 1)),
+                      2 * keep, b, contact_weight=contact_weight,
+                      params_t=tile_params(params, b, 2 * keep) if wg
+                      else None)
+
+    def gather_vec(x_kb_flat):
+        # (K·b,) K-major -> survivors' values, keep-major (keep·b,).
+        kept = jnp.take_along_axis(x_kb_flat.reshape(restarts, b).T, idx, 1)
+        return kept.T.reshape(keep * b)
+
+    iters1 = gather_vec(res1.iters)
+    # Phase-1-best candidates stop at phase 1; phase-2 candidates resumed
+    # from the phase-1 final, so their cost is the sum.
+    iters_pool = jnp.concatenate([iters1, iters1 + res2.iters], axis=0)
+    return sel._replace(iters=pick_iters(iters_pool, 2 * keep, sel.k_best))
 
 
 def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6,

@@ -21,8 +21,12 @@ TPU-first design decisions:
   thousands.  The dispatcher waits at most ``window_ms`` after the first
   queued request before launching a partial batch.
 * **The event loop never blocks on the device.**  Device execution runs
-  in a thread-pool executor; the loop keeps accepting requests for the
-  next batch while the current one is in flight.
+  in a thread-pool executor, so ``submit`` keeps *enqueueing* requests
+  while a batch is in flight.  Dispatch itself is serialized: the loop
+  awaits each executor call before coalescing the next batch (and
+  ``plan_batch_sync`` holds a lock regardless) — one program, one device,
+  in-order execution; overlap would only hide host-side batch packing,
+  not device time.
 """
 from __future__ import annotations
 
@@ -174,12 +178,11 @@ class MultistartPlanningAdapter:
             restarts=self.restarts, amp=self.amp,
             prune_iters=self.prune_iters, keep=self.keep,
         )
-        iters = jnp.full(res.th.shape[:1], self.cfg.max_iters, jnp.int32)
         return _AdapterResult(
             th=res.th,
             err_init=self._error(params, th0, sdf),
             err_final=self._error(params, res.th, sdf),
-            iters=iters,
+            iters=res.iters,  # winning candidate's actual GN iterations
         )
 
 
@@ -226,9 +229,8 @@ class TaskSpacePlanningAdapter:
         # goal the unmoved seed would win.  Return the converged iterate.
         res = self._gn.plan(self.spec, self.robot, params, th0, sdf,
                             self.cfg)
-        iters = jnp.full(res.th.shape[:1], self.cfg.max_iters, jnp.int32)
         return _AdapterResult(th=res.th, err_init=res.err_init,
-                              err_final=res.err_final, iters=iters)
+                              err_final=res.err_final, iters=res.iters)
 
 
 class PlanningService:

@@ -207,3 +207,29 @@ def test_plan_multistart_improves_on_clutter():
     # move them slightly; the seeds themselves are exact, tested above)
     np.testing.assert_allclose(np.asarray(outk.th[:, 0, :2]),
                                np.asarray(th0[:, 0, :2]), atol=0.5)
+
+
+def test_plan_multistart_reports_winner_iters():
+    """MultistartResult.iters is the winning candidate's actual GN
+    iteration count: bounded by max_iters (plus phase sum when staged),
+    equal to gn.plan's per-problem iters at restarts=1, and plumbed
+    through the serving adapter instead of a constant max_iters fill."""
+    params, th0, sdf = _problem()
+    # Loose tolerance so per-problem convergence freezes early.
+    cfg = gn.OptimConfig(reg=0.1, max_iters=30, tol_delta=5e-2)
+    ref = gn.plan(SPEC, ROBOT, params, th0, sdf, cfg, track_best=True)
+    out1 = plan_multistart(SPEC, ROBOT, params, th0, sdf, cfg,
+                           jax.random.PRNGKey(0), restarts=1)
+    np.testing.assert_array_equal(np.asarray(out1.iters),
+                                  np.asarray(ref.iters))
+    assert int(np.min(np.asarray(out1.iters))) < 30, \
+        "tol_delta must freeze at least one problem early for this test"
+    out = plan_multistart(SPEC, ROBOT, params, th0, sdf, cfg,
+                          jax.random.PRNGKey(0), restarts=6)
+    assert np.all(np.asarray(out.iters) >= 1)
+    assert np.all(np.asarray(out.iters) <= 30)
+    staged = plan_multistart(SPEC, ROBOT, params, th0, sdf, cfg,
+                             jax.random.PRNGKey(0), restarts=6,
+                             prune_iters=5, keep=2)
+    assert np.all(np.asarray(staged.iters) >= 1)
+    assert np.all(np.asarray(staged.iters) <= 30)
