@@ -203,7 +203,13 @@ def set_oob_mode(mode: str) -> None:
     The mode is captured at TRACE time by jitted callers and is not part
     of any jit cache key, so switching it must invalidate compiled
     executables — otherwise a function traced under the old mode would
-    silently keep its old semantics on the next call."""
+    silently keep its old semantics on the next call.
+
+    .. warning:: the invalidation is ``jax.clear_caches()`` — it drops
+       every compiled executable process-wide.  A live ``PlanningService``
+       would pay the full XLA recompile (~20-40 s) on its next dispatch.
+       Set this once at process startup, never mid-serving; it exists for
+       parity testing, not as a runtime switch."""
     global _OOB_MODE
     if mode not in ("intended", "reference"):
         raise ValueError(mode)
@@ -540,7 +546,10 @@ def set_lookup_method(method: str) -> None:
 
     Like :func:`set_oob_mode`, the method is captured at trace time, so
     switching invalidates jit caches — otherwise an already-compiled
-    executable would silently keep the old engine."""
+    executable would silently keep the old engine.  Same serving caveat:
+    the flush is process-wide (``jax.clear_caches()``), so a live
+    ``PlanningService`` recompiles on its next dispatch — choose the
+    engine at startup, not mid-serving."""
     global _LOOKUP_METHOD
     if method != "auto" and method not in _LOOKUP_FNS:
         raise ValueError(method)
