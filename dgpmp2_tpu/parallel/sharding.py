@@ -68,7 +68,10 @@ def make_multihost_mesh(model_parallel: int = 1) -> Mesh:
     reduction over DCN.
 
     On a single host this degenerates to ``(1, data, model)`` and is
-    equivalent to :func:`make_mesh`.
+    equivalent to :func:`make_mesh`.  The multi-process path is exercised
+    by ``tests/test_multihost.py``: two ``jax.distributed`` CPU processes
+    form the global mesh and reproduce unsharded plan trajectories
+    through Gloo cross-process collectives.
     """
     n_proc = jax.process_count()
     local = [d for d in jax.devices()]
