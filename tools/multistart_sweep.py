@@ -47,6 +47,9 @@ from learned_campaign import COV, SIGMAS, CONFIGS, make_planner
 def load_batches(root, batch_size, limit=None):
     test_ds = ds.PlanningDataset(root, mode="test",
                                  label_subdir="opt_trajs_gpmp2")
+    # Tiny (smoke-scale) splits: shrink the batch rather than dropping
+    # every problem to the remainder.
+    batch_size = min(batch_size, len(test_ds))
     n = len(test_ds) - len(test_ds) % batch_size
     if limit is not None:
         n = min(n, limit)
