@@ -104,6 +104,7 @@ def hinge_obstacle_residual(
     res: float,
     x_lims,
     y_lims,
+    z_lims=None,
 ):
     """Hinge-loss obstacle residual + Jacobian per trajectory state.
 
@@ -112,18 +113,20 @@ def hinge_obstacle_residual(
     (``obstacle_cost.py:29-38``, ``obstacle_factor.py:35-40``).
 
     Args:
-      centers: (..., T, L, W) workspace sphere centers (W = 2).
+      centers: (..., T, L, W) workspace sphere centers (W = 2, or 3 with
+        ``z_lims`` set — 3-D workspaces, beyond the 2-D-only reference).
       jac_fk:  (..., T, L, W, D) FK Jacobians.
       radii:   (L,) sphere radii.
       eps:     (..., T, L) safety margin ε (may be learned per state).
-      sdf:     (..., H, Wim) signed distance field, metric units.
+      sdf:     (..., H, Wim) signed distance field, metric units
+        ((..., D, H, Wim) voxels when ``z_lims`` is set).
 
     Returns:
       r: (..., T, L) hinge costs, H: (..., T, L, D) state-space Jacobians.
     """
     t, l = centers.shape[-3], centers.shape[-2]
     pts = centers.reshape(*centers.shape[:-3], t * l, centers.shape[-1])
-    d, grad = sdf_ops.lookup(sdf, pts, res, x_lims, y_lims)
+    d, grad = sdf_ops.lookup_nd(sdf, pts, res, x_lims, y_lims, z_lims)
     d = d.reshape(*centers.shape[:-3], t, l)
     grad = grad.reshape(*centers.shape[:-1], centers.shape[-1])
     return hinge_from_lookup(d, grad, jac_fk, radii, eps)

@@ -73,6 +73,10 @@ class GraphSpec:
     nlinks: int = 1
     x_lims: Tuple[float, float] = (-5.0, 5.0)
     y_lims: Tuple[float, float] = (-5.0, 5.0)
+    # 3-D workspace switch (beyond the 2-D-only reference): when set, the
+    # SDF is a (..., D, H, W) voxel grid, obstacle lookups are trilinear,
+    # and robots must produce 3-vector sphere centers (e.g. PointRobot3D).
+    z_lims: Optional[Tuple[float, float]] = None
     non_holonomic: bool = False
     use_vel_limits: bool = False
     # GP-interpolated dense collision checking: `num_inter` obstacle checks
@@ -232,21 +236,23 @@ def eval_residuals(
         lam, psi = factors.gp_interp_coeffs(spec.dof, spec.dt,
                                             spec.num_inter, dtype)
         th_tau = factors.gp_interpolate(th, lam, psi)  # (B, T, nip, D)
-        centers_i, jac_fk_i = robot.fk(th_tau)  # (B, T, nip, L, 2[, D])
+        centers_i, jac_fk_i = robot.fk(th_tau)  # (B, T, nip, L, W[, D])
         b_shape = th.shape[:-2]
+        wd = centers.shape[-1]  # workspace dim: 2, or 3 with z_lims set
         tn, t, nip, l = (spec.num_traj_states, spec.num_gp_factors,
                          spec.num_inter, spec.nlinks)
         pts = jnp.concatenate(
-            [centers.reshape(*b_shape, tn * l, 2),
-             centers_i.reshape(*b_shape, t * nip * l, 2)], axis=-2,
+            [centers.reshape(*b_shape, tn * l, wd),
+             centers_i.reshape(*b_shape, t * nip * l, wd)], axis=-2,
         )
-        d_all, grad_all = sdf_ops.lookup(
-            sdf, pts, spec.res(sdf.shape[-1]), spec.x_lims, spec.y_lims
+        d_all, grad_all = sdf_ops.lookup_nd(
+            sdf, pts, spec.res(sdf.shape[-1]), spec.x_lims, spec.y_lims,
+            spec.z_lims,
         )
         d_m = d_all[..., : tn * l].reshape(*b_shape, tn, l)
-        g_m = grad_all[..., : tn * l, :].reshape(*b_shape, tn, l, 2)
+        g_m = grad_all[..., : tn * l, :].reshape(*b_shape, tn, l, wd)
         d_i = d_all[..., tn * l :].reshape(*b_shape, t, nip, l)
-        g_i = grad_all[..., tn * l :, :].reshape(*b_shape, t, nip, l, 2)
+        g_i = grad_all[..., tn * l :, :].reshape(*b_shape, t, nip, l, wd)
         radii = robot.radii_array(dtype)
         r_obs, h_obs = factors.hinge_from_lookup(
             d_m, g_m, jac_fk, radii, params.eps
@@ -258,7 +264,7 @@ def eval_residuals(
     else:
         r_obs, h_obs = factors.hinge_obstacle_residual(
             centers, jac_fk, robot.radii_array(dtype), params.eps, sdf,
-            spec.res(sdf.shape[-1]), spec.x_lims, spec.y_lims,
+            spec.res(sdf.shape[-1]), spec.x_lims, spec.y_lims, spec.z_lims,
         )
     r_dyn = h_dyn = r_vel = h_vel = r_self = h_self = r_jl = h_jl = None
     if spec.non_holonomic:
@@ -596,6 +602,7 @@ def obstacle_residuals(spec, robot, params, th, sdf):
         spec.res(sdf.shape[-1]),
         spec.x_lims,
         spec.y_lims,
+        spec.z_lims,
     )
     return r_obs
 

@@ -145,7 +145,7 @@ def plan_multistart(
     th0s = perturbed_inits(th_init, rng, restarts, amp, spec.total_time_sec,
                            harmonics)
     th0s = th0s.reshape(restarts * b, *th0s.shape[2:])
-    sdf_t = jnp.tile(sdf, (restarts, 1, 1))
+    sdf_t = jnp.tile(sdf, (restarts,) + (1,) * (sdf.ndim - 1))
     params_t = tile_params(params, b, restarts)
 
     staged = prune_iters > 0 or keep > 0
@@ -202,7 +202,7 @@ def plan_multistart(
         )
 
     # Phase 2: survivors resume from their phase-1 FINAL iterate.
-    sdf_k = jnp.tile(sdf, (keep, 1, 1))
+    sdf_k = jnp.tile(sdf, (keep,) + (1,) * (sdf.ndim - 1))
     params_k = tile_params(params, b, keep)
     res2 = gn.plan(
         spec, robot, params_k, gather(res1.th), sdf_k,
@@ -211,7 +211,7 @@ def plan_multistart(
     )
     # Select over each survivor's phase-1 best AND phase-2 best.
     pool = jnp.concatenate([gather(rep(res1)), rep(res2)], axis=0)
-    sel = select_best(spec, robot, pool, jnp.tile(sdf, (2 * keep, 1, 1)),
+    sel = select_best(spec, robot, pool, jnp.tile(sdf, (2 * keep,) + (1,) * (sdf.ndim - 1)),
                       2 * keep, b, contact_weight=contact_weight,
                       params_t=tile_params(params, b, 2 * keep) if wg
                       else None)
@@ -249,16 +249,17 @@ def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6,
     diverged candidate (NaN trajectory) scores +inf and can never win.
     """
     res = spec.res(sdf.shape[-1])
-    centers, _ = robot.fk(th)  # (N, T+1, L, 2)
-    n, t1, l, _ = centers.shape
+    centers, _ = robot.fk(th)  # (N, T+1, L, W)
+    n, t1, l, wd = centers.shape
     n_sup = t1 * l
-    pts = centers.reshape(n, n_sup, 2)
+    pts = centers.reshape(n, n_sup, wd)
     if spec.use_gp_inter:
         lam, psi = factors.gp_interp_coeffs(spec.dof, spec.dt,
                                             spec.num_inter, th.dtype)
         centers_i, _ = robot.fk(factors.gp_interpolate(th, lam, psi))
-        pts = jnp.concatenate([pts, centers_i.reshape(n, -1, 2)], axis=-2)
-    d, _ = sdf_ops.lookup(sdf, pts, res, spec.x_lims, spec.y_lims)
+        pts = jnp.concatenate([pts, centers_i.reshape(n, -1, wd)], axis=-2)
+    d, _ = sdf_ops.lookup_nd(sdf, pts, res, spec.x_lims, spec.y_lims,
+                             spec.z_lims)
     radii = robot.radii_array(th.dtype)
     pen = jnp.maximum(
         radii[None, None, :] - d[..., :n_sup].reshape(n, t1, l), 0.0

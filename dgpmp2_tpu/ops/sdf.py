@@ -98,27 +98,31 @@ def _edt_1d_sq(cost_sq: jnp.ndarray) -> jnp.ndarray:
     return out[..., :n] if pad else out
 
 
-def edt_sq(mask: jnp.ndarray) -> jnp.ndarray:
+def edt_sq(mask: jnp.ndarray, spatial_ndim: int = 2) -> jnp.ndarray:
     """Squared EDT of a boolean mask: distance to the nearest True cell.
 
-    Cells where ``mask`` is True have distance 0.  Separable: 1-D pass down
-    columns then along rows (Felzenszwalb & Huttenlocher decomposition of
-    the squared Euclidean metric).
+    Cells where ``mask`` is True have distance 0.  Separable: one 1-D pass
+    per spatial axis (Felzenszwalb & Huttenlocher decomposition of the
+    squared Euclidean metric), over the last ``spatial_ndim`` axes — 2 for
+    images, 3 for voxel grids; any leading axes are batch.
     """
-    h, w = mask.shape[-2], mask.shape[-1]
+    dims = mask.shape[-spatial_ndim:]
     dtype = jnp.int32
     # Finite "infinity": larger than any achievable squared distance, so an
     # all-False mask yields this cap instead of inf (keeps downstream math
     # NaN-free; scipy's EDT of an empty feature set is similarly degenerate).
-    cap = jnp.asarray(h * h + w * w + 1, dtype)
+    cap = jnp.asarray(sum(d * d for d in dims) + 1, dtype)
     cost = jnp.where(mask, jnp.zeros((), dtype), cap)
-    # Pass 1: along columns (axis -2).
-    cost = jnp.swapaxes(_edt_1d_sq(jnp.swapaxes(cost, -1, -2)), -1, -2)
-    # Pass 2: along rows (axis -1).
-    return jnp.minimum(_edt_1d_sq(cost), cap)
+    # One dense min-plus pass per spatial axis, innermost last.
+    for ax in range(-spatial_ndim, 0):
+        if ax != -1:
+            cost = jnp.swapaxes(_edt_1d_sq(jnp.swapaxes(cost, -1, ax)), -1, ax)
+        else:
+            cost = _edt_1d_sq(cost)
+    return jnp.minimum(cost, cap)
 
 
-def edt(mask: jnp.ndarray, dtype=None) -> jnp.ndarray:
+def edt(mask: jnp.ndarray, dtype=None, spatial_ndim: int = 2) -> jnp.ndarray:
     """Euclidean distance (in pixels) to the nearest True cell of ``mask``.
 
     The squared transform is computed in exact int32 arithmetic; only the
@@ -127,7 +131,7 @@ def edt(mask: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    return jnp.sqrt(edt_sq(mask).astype(dtype))
+    return jnp.sqrt(edt_sq(mask, spatial_ndim).astype(dtype))
 
 
 def sdf_from_occupancy(
@@ -147,18 +151,43 @@ def sdf_from_occupancy(
     ``res`` from the sdf shape, so the two conventions agree to < 1 cell —
     we keep shapes stable because static shapes are king under jit).
 
-    Works on (H, W) or batched (..., H, W) input.
+    Works on (H, W) or batched (..., H, W) input; for (..., D, H, W) voxel
+    occupancy use :func:`sdf_from_occupancy_3d`.
     """
+    return _sdf_from_occupancy_nd(image, res, threshold, padlen, 2)
+
+
+def sdf_from_occupancy_3d(
+    voxels: jnp.ndarray,
+    res: float = 1.0,
+    threshold: float = 0.75,
+    padlen: int = 1,
+) -> jnp.ndarray:
+    """Signed distance field from a 3-D occupancy grid (..., D, H, W).
+
+    The 2-D pipeline generalized (no reference analog — the reference is
+    2-D only, ``utils/sdf_utils.py:6-21``): threshold (>th ⇒ free), pad a
+    1-voxel free border, ``(edt(free) - edt(occupied)) * res``, strip the
+    pad.  Same exact separable min-plus EDT, one extra axis pass; the
+    chunked evaluation bounds peak memory identically.
+    """
+    return _sdf_from_occupancy_nd(voxels, res, threshold, padlen, 3)
+
+
+def _sdf_from_occupancy_nd(image, res, threshold, padlen, spatial_ndim):
     free = image > threshold
     if padlen > 0:
-        pad = [(0, 0)] * (free.ndim - 2) + [(padlen, padlen), (padlen, padlen)]
+        pad = ([(0, 0)] * (free.ndim - spatial_ndim)
+               + [(padlen, padlen)] * spatial_ndim)
         free = jnp.pad(free, pad, constant_values=True)
     occupied = ~free
     # edt(mask) = distance to the nearest True cell, so distance-to-obstacle
     # (positive in free space) is edt(occupied) and vice versa.
-    out = (edt(occupied) - edt(free)) * res
+    out = (edt(occupied, spatial_ndim=spatial_ndim)
+           - edt(free, spatial_ndim=spatial_ndim)) * res
     if padlen > 0:
-        out = out[..., padlen:-padlen, padlen:-padlen]
+        sl = (Ellipsis,) + (slice(padlen, -padlen),) * spatial_ndim
+        out = out[sl]
     return out
 
 
@@ -598,3 +627,130 @@ def lookup(sdf, points, res, x_lims, y_lims):
 @functools.partial(jax.jit, static_argnames=("x_lims", "y_lims", "res"))
 def bilinear_lookup_jit(sdf, points, res, x_lims, y_lims):
     return bilinear_lookup(sdf, points, res, x_lims, y_lims)
+
+
+def lookup_nd(sdf, points, res, x_lims, y_lims, z_lims=None):
+    """Workspace-dimension dispatcher: 2-D backend-selected bilinear lookup
+    when ``z_lims`` is None, 3-D trilinear lookup otherwise."""
+    if z_lims is None:
+        return lookup(sdf, points, res, x_lims, y_lims)
+    return trilinear_lookup(sdf, points, res, x_lims, y_lims, z_lims)
+
+
+# ---------------------------------------------------------------------------
+# Trilinear SDF lookup (3-D workspaces; no reference analog)
+# ---------------------------------------------------------------------------
+
+
+def trilinear_lookup(
+    sdf: jnp.ndarray,
+    points: jnp.ndarray,
+    res: float,
+    x_lims,
+    y_lims,
+    z_lims,
+):
+    """Trilinearly interpolated 3-D SDF value + analytic spatial gradient.
+
+    The 3-D companion of :func:`bilinear_lookup` (the reference is 2-D
+    only).  Voxel layout is ``sdf[..., z, row, col]``: the trailing two
+    axes follow the 2-D image convention exactly (x → col, y → row with
+    the y flip), and the depth axis is unflipped — voxel z-index 0 sits at
+    ``z_lims[0]``, ``pz = (z - z_lims[0]) / res``.
+
+    Args:
+      sdf: (..., D, H, W) distance field in metric units.
+      points: (..., P, 3) world-space queries ``(x, y, z)``.
+      res: metres per voxel (cubical voxels).
+      x_lims, y_lims, z_lims: world extents ``(lo, hi)``.
+
+    Returns:
+      ``(d, grad)``: d (..., P) and grad (..., P, 3) = ∇d.  Out-of-bounds
+      queries get ``d = MAX_D = x_lims[1]-x_lims[0]`` with zero gradient
+      ("intended" mode; the "reference" OOB mode also applies, giving the
+      clamped-weight collapse for parity experiments).
+    """
+    res = float(res)
+    x_lims = (float(x_lims[0]), float(x_lims[1]))
+    y_lims = (float(y_lims[0]), float(y_lims[1]))
+    z_lims = (float(z_lims[0]), float(z_lims[1]))
+    if abs(y_lims[0] + y_lims[1]) > 1e-9:
+        raise NotImplementedError(
+            f"asymmetric y_lims {tuple(y_lims)} are not supported by the "
+            "reference y->row transform; recenter the world"
+        )
+    nz, h, w = sdf.shape[-3], sdf.shape[-2], sdf.shape[-1]
+    dtype = sdf.dtype
+    x = points[..., 0].astype(dtype)
+    y = points[..., 1].astype(dtype)
+    z = points[..., 2].astype(dtype)
+    max_d = jnp.asarray(x_lims[1] - x_lims[0], dtype)
+
+    px = -x_lims[0] / res + x / res
+    py = -y_lims[0] / res - y / res
+    pz = -z_lims[0] / res + z / res
+
+    px1, py1, fx, fy = _interp_weights(px, py)
+    pz1 = jnp.floor(pz)
+    fz = pz - pz1
+    pz1 = pz1.astype(jnp.int32)
+    px1c = jnp.clip(px1, 0, w - 1)
+    px2c = jnp.clip(px1 + 1, 0, w - 1)
+    py1c = jnp.clip(py1, 0, h - 1)
+    py2c = jnp.clip(py1 + 1, 0, h - 1)
+    pz1c = jnp.clip(pz1, 0, nz - 1)
+    pz2c = jnp.clip(pz1 + 1, 0, nz - 1)
+
+    flat = sdf.reshape(*sdf.shape[:-3], nz * h * w)
+
+    def take(pzi, pyi, pxi):
+        idx = (pzi * h + pyi) * w + pxi
+        return jnp.take_along_axis(flat, idx, axis=-1)
+
+    # 8 corners: d{z}{y}{x} with 1 = low corner, 2 = high corner.
+    d111 = take(pz1c, py1c, px1c)
+    d112 = take(pz1c, py1c, px2c)
+    d121 = take(pz1c, py2c, px1c)
+    d122 = take(pz1c, py2c, px2c)
+    d211 = take(pz2c, py1c, px1c)
+    d212 = take(pz2c, py1c, px2c)
+    d221 = take(pz2c, py2c, px1c)
+    d222 = take(pz2c, py2c, px2c)
+
+    ax1, ax2 = _axis_weights(px, px1c, px2c, fx)
+    ay1, ay2 = _axis_weights(py, py1c, py2c, fy)
+    az1, az2 = _axis_weights(pz, pz1c, pz2c, fz)
+
+    # Interpolate x, then y, then z.
+    dy11 = ax1 * d111 + ax2 * d112
+    dy12 = ax1 * d121 + ax2 * d122
+    dy21 = ax1 * d211 + ax2 * d212
+    dy22 = ax1 * d221 + ax2 * d222
+    dz1 = ay1 * dy11 + ay2 * dy12
+    dz2 = ay1 * dy21 + ay2 * dy22
+    d = az1 * dz1 + az2 * dz2
+
+    # Analytic partials in index space, chained through the world→index
+    # maps (px = x/res, py = -y/res, pz = z/res).
+    dd_dpx = (az1 * (ay1 * (d112 - d111) + ay2 * (d122 - d121))
+              + az2 * (ay1 * (d212 - d211) + ay2 * (d222 - d221)))
+    dd_dpy = az1 * (dy12 - dy11) + az2 * (dy22 - dy21)
+    dd_dpz = dz2 - dz1
+    gx = dd_dpx / res
+    gy = -dd_dpy / res
+    gz = dd_dpz / res
+
+    if _OOB_MODE == "reference":
+        return d, jnp.stack([gx, gy, gz], axis=-1)
+
+    inside = (
+        (x >= x_lims[0]) & (x <= x_lims[1])
+        & (y >= y_lims[0]) & (y <= y_lims[1])
+        & (z >= z_lims[0]) & (z <= z_lims[1])
+    )
+    d = jnp.where(inside, d, max_d)
+    zero = jnp.zeros((), dtype)
+    grad = jnp.stack([jnp.where(inside, gx, zero),
+                      jnp.where(inside, gy, zero),
+                      jnp.where(inside, gz, zero)], axis=-1)
+    return d, grad

@@ -88,6 +88,31 @@ class PointRobotXYH(RobotModel):
 
 
 @dataclasses.dataclass(frozen=True)
+class PointRobot3D(RobotModel):
+    """Holonomic 3-D point robot, state ``[x, y, z, vx, vy, vz]``.
+
+    3-D workspaces are beyond the 2-D-only reference (its robots live in
+    ``robot_models/``, all planar); the factor graph is workspace-dim
+    generic, so this is just the identity FK in R³ — pair with
+    ``GraphSpec(dof=3, state_dim=6, z_lims=...)`` and a voxel SDF from
+    ``ops.sdf.sdf_from_occupancy_3d``.
+    """
+
+    dofs: int = 3
+    nlinks: int = 1
+    wksp_dim: int = 3
+    state_dim: int = 6
+    sphere_radii: Tuple[float, ...] = (0.4,)
+
+    def fk(self, th: jnp.ndarray):
+        centers = th[..., None, :3]  # (..., 1, 3)
+        jac = jnp.zeros((3, 6), th.dtype)
+        jac = jac.at[0, 0].set(1.0).at[1, 1].set(1.0).at[2, 2].set(1.0)
+        jac = jnp.broadcast_to(jac, (*th.shape[:-1], 1, 3, 6))
+        return centers, jac
+
+
+@dataclasses.dataclass(frozen=True)
 class PlanarArm2Link(RobotModel):
     """Two-link planar arm, state ``[q1, q2, dq1, dq2]`` (joint space).
 
@@ -298,6 +323,8 @@ def make_robot(robot_data: dict) -> RobotModel:
             spheres_per_link=int(robot_data.get("spheres_per_link", 2)),
             sphere_radii=radii,
         )
+    if rtype == "point_robot_3d":
+        return PointRobot3D(sphere_radii=radii)
     if rtype == "point_robot_xyh" or dof == 3:
         return PointRobotXYH(sphere_radii=radii)
     return PointRobot2D(sphere_radii=radii)
