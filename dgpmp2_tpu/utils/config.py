@@ -64,6 +64,11 @@ def spec_from_params(planner_params, env_data, robot) -> GraphSpec:
         nlinks=robot.nlinks,
         x_lims=tuple(float(v) for v in env_data["x_lims"]),
         y_lims=tuple(float(v) for v in env_data["y_lims"]),
+        # Extension key: a z_lims entry in the env YAML switches the
+        # workspace to 3-D (voxel SDFs, trilinear lookup; the reference
+        # schema is 2-D only).
+        z_lims=(tuple(float(v) for v in env_data["z_lims"])
+                if env_data.get("z_lims") is not None else None),
         non_holonomic=bool(planner_params.get("non_holonomic", False)),
         use_vel_limits=bool(planner_params.get("use_vel_limits", False)),
         use_gp_inter=bool(planner_params.get("use_gp_inter", False)),

@@ -182,3 +182,38 @@ def test_plan3d_multistart_and_env3d():
     # world <-> voxel round trip
     w = np.asarray([[1.2, -0.7, 2.1]])
     np.testing.assert_allclose(env.to_world(env.to_voxel(w)), w, atol=1e-12)
+
+
+def test_plan3d_yaml_planner_api():
+    """The drop-in YAML surface reaches 3-D: shipped 3-D schemas build a
+    DiffGPMP2Planner whose spec picks up z_lims (extension key in the env
+    YAML) and whose reference-style plan() clears the voxel box."""
+    import os
+
+    from dgpmp2_tpu.planner import DiffGPMP2Planner
+    from dgpmp2_tpu.utils.config import load_params
+
+    cdir = os.path.join(os.path.dirname(__file__), "..", "dgpmp2_tpu",
+                        "configs")
+    env_data, pp, gp, obs, opt, robot_data = load_params(
+        os.path.join(cdir, "gpmp2_3d_params.yaml"),
+        os.path.join(cdir, "robot_3d.yaml"),
+        os.path.join(cdir, "env_3d_params.yaml"),
+    )
+    pp = dict(pp, total_time_step=16)
+    opt = dict(opt, max_iters=25)
+    robot = make_robot(robot_data)
+    assert robot.wksp_dim == 3
+    planner = DiffGPMP2Planner(gp, obs, pp, opt, env_data, robot,
+                               dtype=jnp.float64)
+    assert planner.spec.z_lims == (-5.0, 5.0)
+
+    _, sdf = _box_world()
+    start = jnp.asarray([[-4.0, -4.0, -4.0, 0, 0, 0]], jnp.float64)
+    goal = jnp.asarray([[4.0, 4.0, 4.0, 0, 0, 0]], jnp.float64)
+    s = jnp.linspace(0.0, 1.0, 17)[None, :, None]
+    pos = (1 - s) * start[:, None, :3] + s * goal[:, None, :3]
+    th0 = jnp.concatenate([pos, jnp.zeros_like(pos)], axis=-1)
+    res = planner.plan(th0, start, goal, sdf[None])
+    assert float(res.err_final[0] / res.err_init[0]) < 0.05
+    assert _min_clearance(res.th, sdf, planner.spec.res(N)) > 0.0
