@@ -184,6 +184,44 @@ def test_plan3d_multistart_and_env3d():
     np.testing.assert_allclose(env.to_world(env.to_voxel(w)), w, atol=1e-12)
 
 
+def test_plan3d_serving_dispatch():
+    """PlanningService is SDF-shape generic: 3-D voxel worlds flow through
+    the batch packer, world bank, and dispatch unchanged."""
+    import os
+
+    from dgpmp2_tpu.planner import DiffGPMP2Planner
+    from dgpmp2_tpu.serve import PlanningService, PlanRequest
+    from dgpmp2_tpu.utils.config import load_params
+
+    cdir = os.path.join(os.path.dirname(__file__), "..", "dgpmp2_tpu",
+                        "configs")
+    env_data, pp, gp, obs, opt, robot_data = load_params(
+        os.path.join(cdir, "gpmp2_3d_params.yaml"),
+        os.path.join(cdir, "robot_3d.yaml"),
+        os.path.join(cdir, "env_3d_params.yaml"),
+    )
+    pp = dict(pp, total_time_step=12)
+    opt = dict(opt, max_iters=10)
+    planner = DiffGPMP2Planner(gp, obs, pp, opt, env_data,
+                               make_robot(robot_data), dtype=jnp.float64)
+    _, sdf = _box_world()
+    svc = PlanningService(planner, batch_size=4)
+    svc.register_world("box", np.asarray(sdf))
+    rng = np.random.default_rng(0)
+    reqs = []
+    for _ in range(3):
+        s = np.zeros(6)
+        g = np.zeros(6)
+        s[:3] = np.array([-4.0, -4.0, -4.0]) + rng.uniform(-0.2, 0.2, 3)
+        g[:3] = np.array([4.0, 4.0, 4.0]) + rng.uniform(-0.2, 0.2, 3)
+        reqs.append(PlanRequest(start=s, goal=g, world="box"))
+    out = svc.plan_batch_sync(reqs)
+    assert len(out) == 3
+    for r in out:
+        assert np.all(np.isfinite(np.asarray(r.th)))
+        assert float(r.err_final) < 0.2 * float(r.err_init)
+
+
 def test_plan3d_yaml_planner_api():
     """The drop-in YAML surface reaches 3-D: shipped 3-D schemas build a
     DiffGPMP2Planner whose spec picks up z_lims (extension key in the env
