@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from dgpmp2_tpu.core import gn, graph
 from dgpmp2_tpu.learn import covariances as cov_lib
-from dgpmp2_tpu.models.conv_encoder import ConvEncoder
+from dgpmp2_tpu.models.conv_encoder import ConvEncoder, ConvEncoder3D
 from dgpmp2_tpu.models.cov_head import FeedForwardHead, RecurrentHead, traj_positions_flat
 
 
@@ -80,7 +80,12 @@ class LearnedDiffGPMP2Planner:
         self.learn_cfg = learn_cfg
         self.out_dim = cov_lib.out_dim(spec, learn_cfg.dynamics_mode,
                                        learn_cfg.learn_eps)
-        self.conv = ConvEncoder(dtype=learn_cfg.dtype)
+        # 3-D workspaces (spec.z_lims set) encode voxel stacks with the
+        # rank-3 twin of the reference CNN; the head consumes xyz instead
+        # of xy positions.  Everything downstream is dimension-blind.
+        self._is3d = spec.z_lims is not None
+        self.conv = (ConvEncoder3D(dtype=learn_cfg.dtype) if self._is3d
+                     else ConvEncoder(dtype=learn_cfg.dtype))
         out_bias = None
         if learn_cfg.static_init is not None:
             out_bias = self.static_out_bias(*learn_cfg.static_init)
@@ -157,12 +162,14 @@ class LearnedDiffGPMP2Planner:
     # -- variable init -----------------------------------------------------
 
     def _head_pos(self, th, dth_prev=None):
-        pos = traj_positions_flat(th).astype(self.learn_cfg.dtype)
+        pd = 3 if self._is3d else 2
+        pos = traj_positions_flat(th, pd).astype(self.learn_cfg.dtype)
         if self.learn_cfg.dtheta_predict:
             if dth_prev is None:
                 dth_prev = jnp.zeros_like(th)
             pos = jnp.concatenate(
-                [pos, traj_positions_flat(dth_prev).astype(self.learn_cfg.dtype)],
+                [pos,
+                 traj_positions_flat(dth_prev, pd).astype(self.learn_cfg.dtype)],
                 axis=-1,
             )
         return pos

@@ -115,7 +115,8 @@ class RecurrentHead(nn.Module):
         return tuple(c.initialize_carry(rng, shape) for c in cells)
 
 
-def traj_positions_flat(th: jnp.ndarray) -> jnp.ndarray:
-    """(B, T+1, D) -> (B, (T+1)·2) xy positions, the head's trajectory input
-    (``learn_module_fcn.py:70-74,118``)."""
-    return th[..., :2].reshape(th.shape[0], -1)
+def traj_positions_flat(th: jnp.ndarray, pos_dim: int = 2) -> jnp.ndarray:
+    """(B, T+1, D) -> (B, (T+1)·pos_dim) positions, the head's trajectory
+    input (``learn_module_fcn.py:70-74,118``; xy in the 2-D reference,
+    xyz for 3-D workspaces)."""
+    return th[..., :pos_dim].reshape(th.shape[0], -1)

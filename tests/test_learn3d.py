@@ -1,0 +1,92 @@
+"""Learned covariances over 3-D voxel worlds: ConvEncoder3D wiring.
+
+The learned planner is dimension-blind past its inputs: with
+``GraphSpec.z_lims`` set it encodes (im, sdf) VOXEL stacks through the
+rank-3 twin of the reference CNN and feeds xyz head positions.  Pins:
+static_init parity (untrained forward == fixed-covariance planner),
+gradient flow into the 3-D conv weights, and finite plans.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgpmp2_tpu.core import gn, graph
+from dgpmp2_tpu.learn.learned_planner import (LearnedDiffGPMP2Planner,
+                                              LearnedPlannerConfig)
+from dgpmp2_tpu.ops import sdf as sdf_ops
+from dgpmp2_tpu.robots import PointRobot3D
+
+L = (-5.0, 5.0)
+N = 32
+
+
+def _setup():
+    vox = np.ones((N, N, N), np.float32)
+    vox[12:20, 12:20, 12:20] = 0.0
+    res = (L[1] - L[0]) / N
+    sdf = sdf_ops.sdf_from_occupancy_3d(jnp.asarray(vox), res=res)
+    robot = PointRobot3D()
+    spec = graph.GraphSpec(dof=3, state_dim=6, total_time_step=12,
+                           x_lims=L, y_lims=L, z_lims=L)
+    b = 2
+    rng = np.random.default_rng(0)
+    start = np.zeros((b, 6), np.float32)
+    goal = np.zeros((b, 6), np.float32)
+    start[:, :3] = rng.uniform(-4.2, -3.8, (b, 3))
+    goal[:, :3] = rng.uniform(3.8, 4.2, (b, 3))
+    params = graph.default_params(
+        spec, robot, jnp.asarray(start), jnp.asarray(goal), qc_inv=np.eye(3),
+        cost_sigma=0.05, epsilon_dist=0.4, k_s=0.01, k_g=0.01,
+        dtype=jnp.float32,
+    )
+    s = jnp.linspace(0.0, 1.0, 13, dtype=jnp.float32)[None, :, None]
+    pos = (1 - s) * start[:, None, :3] + s * goal[:, None, :3]
+    th0 = jnp.concatenate([pos, jnp.zeros_like(pos)], axis=-1)
+    sdfb = jnp.broadcast_to(sdf, (b, N, N, N)).astype(jnp.float32)
+    im = jnp.broadcast_to(jnp.asarray(vox), (b, N, N, N))
+    return spec, robot, params, th0, sdfb, im
+
+
+def test_learned3d_static_init_matches_fixed_planner():
+    spec, robot, params, th0, sdfb, im = _setup()
+    cfg = gn.OptimConfig(reg=0.1, max_iters=8)
+    lp = LearnedDiffGPMP2Planner(
+        spec, robot, cfg,
+        LearnedPlannerConfig(dynamics_mode="diag_identity",
+                             static_init=(1.0, 0.05)),
+    )
+    assert type(lp.conv).__name__ == "ConvEncoder3D"
+    im_stack = lp.stack_inputs(im, sdfb)
+    assert im_stack.shape == (2, N, N, N, 2)
+    variables = lp.init_variables(jax.random.PRNGKey(0), im_stack, th0)
+    th, errs, _, _ = lp.plan(variables, params, th0, sdfb, im)
+    ref = gn.plan(spec, robot, params, th0, sdfb, cfg)
+    assert bool(jnp.all(jnp.isfinite(th)))
+    # static_init biases + zero-init output kernels => the untrained
+    # forward pass decodes exactly the static covariances.
+    np.testing.assert_allclose(np.asarray(th), np.asarray(ref.th),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_learned3d_gradients_reach_conv3d_weights():
+    spec, robot, params, th0, sdfb, im = _setup()
+    cfg = gn.OptimConfig(reg=0.1, max_iters=3)
+    # No static_init: its zero-initialized output kernel makes conv
+    # gradients exactly zero at init (2-D behaves identically) — use the
+    # xavier output kernel so the chain to the encoder is live.
+    lp = LearnedDiffGPMP2Planner(
+        spec, robot, cfg,
+        LearnedPlannerConfig(dynamics_mode="diag_identity"),
+    )
+    im_stack = lp.stack_inputs(im, sdfb)
+    variables = lp.init_variables(jax.random.PRNGKey(0), im_stack, th0)
+
+    def loss(v):
+        th, _, _, _ = lp.plan(v, params, th0, sdfb, im)
+        return jnp.mean(th[..., :3] ** 2)
+
+    g = jax.grad(loss)(variables)
+    leaves = [x for x in jax.tree.leaves(g["conv"])]
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in leaves)
+    assert total > 0.0, "gradients must reach the 3-D conv weights"
