@@ -12,10 +12,11 @@ from dgpmp2_tpu.core.multistart import (
     MultistartResult, perturbed_inits, plan_multistart, score_candidates,
     select_best,
 )
-from dgpmp2_tpu.envs import Env2D
+from dgpmp2_tpu.envs import Env2D, Env3D
 from dgpmp2_tpu.planner import DiffGPMP2Planner, GPMP2Planner
 from dgpmp2_tpu.robots import (
-    PlanarArm2Link, PlanarArmNLink, PointRobot2D, PointRobotXYH, RobotModel,
+    PlanarArm2Link, PlanarArmNLink, PointRobot2D, PointRobot3D,
+    PointRobotXYH, RobotModel,
     make_robot, self_collision_pairs,
 )
 from dgpmp2_tpu.serve import (
