@@ -103,10 +103,91 @@ def main_sdf(batches):
               f"{b/best:9.0f} sdf/s  ({best/b*1e6:.1f} us/image, {IMSIZE}²)")
 
 
+VOX = 64  # 3-D world edge (voxels)
+
+
+def build3d(b, t=100):
+    from dgpmp2_tpu.robots import PointRobot3D
+
+    rng = np.random.default_rng(0)
+    spec = graph.GraphSpec(dof=3, state_dim=6, total_time_step=t,
+                           z_lims=(-5.0, 5.0))
+    robot = PointRobot3D()
+    vox = np.ones((b, VOX, VOX, VOX), np.float32)
+    r = rng.integers(10, VOX - 22, (b, 3))
+    for i in range(b):
+        vox[i, r[i, 0] : r[i, 0] + 12, r[i, 1] : r[i, 1] + 12,
+            r[i, 2] : r[i, 2] + 12] = 0.0
+    sdf = sdf_ops.sdf_from_occupancy_3d(
+        jnp.asarray(vox), res=10.0 / VOX
+    ).astype(jnp.float32)
+    start = jnp.zeros((b, 6), jnp.float32).at[:, :3].set(
+        jnp.asarray(rng.uniform(-4.5, -3.5, (b, 3)), jnp.float32))
+    goal = jnp.zeros((b, 6), jnp.float32).at[:, :3].set(
+        jnp.asarray(rng.uniform(3.5, 4.5, (b, 3)), jnp.float32))
+    params = graph.default_params(
+        spec, robot, start, goal, qc_inv=np.eye(3), cost_sigma=0.05,
+        epsilon_dist=0.4, k_s=0.01, k_g=0.01, dtype=jnp.float32,
+    )
+    th0 = straight_line_traj(start[:, :3], goal[:, :3],
+                             spec.total_time_sec, t)
+    return spec, robot, params, th0, sdf
+
+
+def main_plan3d(batches):
+    """3-D plan-loop throughput (64³ voxel worlds, PointRobot3D, T=100).
+
+    The 3-D hot path differs from 2-D only in the lookup (trilinear
+    XLA gather vs the fused Pallas bilinear kernel) and the SDF residency
+    (1 MB/f32 world at 64³ vs 65 kB at 128²)."""
+    for b in batches:
+        spec, robot, params, th0, sdf = build3d(b)
+        lengths = [50, 500, 1000]
+        times = [timed(spec, robot, params, th0, sdf, n) for n in lengths]
+        xs, ys = np.asarray(lengths, float), np.asarray(times, float)
+        per_iter = float(np.polyfit(xs, ys, 1)[0])
+        print(f"B={b:5d}: {per_iter*1e3:7.3f} ms/iter  "
+              f"{b/(per_iter*ITERS_PLAN):9.0f} plans/s  "
+              f"({per_iter/b*1e6:.2f} us/iter/problem, {VOX}³ voxels)")
+
+
+def main_sdf3d(batches):
+    """3-D SDF-construction throughput: (B, 64³) occupancy -> voxel SDF.
+    Three chunked min-plus passes ×2 fields; the chunk budget bounds the
+    (…, n, n) intermediates exactly as in 2-D."""
+    rng = np.random.default_rng(0)
+    for b in batches:
+        vox = np.ones((b, VOX, VOX, VOX), np.float32)
+        r = rng.integers(10, VOX - 22, (b, 3))
+        for i in range(b):
+            vox[i, r[i, 0] : r[i, 0] + 12, r[i, 1] : r[i, 1] + 12,
+                r[i, 2] : r[i, 2] + 12] = 0.0
+        fn = jax.jit(
+            lambda v: sdf_ops.sdf_from_occupancy_3d(v, res=10.0 / VOX))
+        x = jnp.asarray(vox)
+        out = fn(x)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(x).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        print(f"B={b:5d}: {best*1e3:8.1f} ms/batch  "
+              f"{b/best:9.0f} sdf/s  ({best/b*1e6:.1f} us/grid, {VOX}³)")
+
+
 def main():
     if "--sdf" in sys.argv:
         sys.argv.remove("--sdf")
         main_sdf([int(a) for a in sys.argv[1:]] or [512, 2048, 4096])
+        return
+    if "--sdf3d" in sys.argv:
+        sys.argv.remove("--sdf3d")
+        main_sdf3d([int(a) for a in sys.argv[1:]] or [32, 128, 512])
+        return
+    if "--plan3d" in sys.argv:
+        sys.argv.remove("--plan3d")
+        main_plan3d([int(a) for a in sys.argv[1:]] or [128, 512, 1024])
         return
     batches = [int(a) for a in sys.argv[1:]] or [128, 512, 1024, 2048]
     for b in batches:

@@ -103,6 +103,38 @@ def test_plan_stream_engine_parity(name):
     )
 
 
+def test_plan_stream_engine_parity_3d():
+    """3-D workspaces (trilinear lookup, state_dim 6) through the stream
+    engine match the standard path — the bench_throughput --plan3d
+    configuration's correctness pin."""
+    from dgpmp2_tpu.robots import PointRobot3D
+
+    spec = graph.GraphSpec(total_time_step=7, dof=3, state_dim=6,
+                           z_lims=(-5.0, 5.0))
+    robot = PointRobot3D()
+    b = 2
+    vox = np.ones((b, 16, 16, 16))
+    vox[:, 6:10, 6:10, 6:10] = 0.0
+    sdf = sdf_ops.sdf_from_occupancy_3d(jnp.asarray(vox, jnp.float64),
+                                        res=10.0 / 16)
+    start = jnp.zeros((b, 6)).at[:, :3].set(-4.0)
+    goal = jnp.zeros((b, 6)).at[:, :3].set(4.0)
+    th0 = straight_line_traj(start[:, :3], goal[:, :3], 10.0, 7)
+    params = graph.default_params(
+        spec, robot, start, goal, qc_inv=np.eye(3), cost_sigma=0.1,
+        epsilon_dist=0.4, k_s=0.01, k_g=0.01, dtype=jnp.float64)
+    cfg = gn.OptimConfig(reg=0.1, max_iters=3, tol_delta=0.0)
+    r_ref = gn.plan(spec, robot, params, th0, sdf, cfg)
+    r_str = gn.plan(spec, robot, params, th0, sdf,
+                    dataclasses.replace(cfg, engine="stream"))
+    np.testing.assert_allclose(np.asarray(r_str.th), np.asarray(r_ref.th),
+                               atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(r_str.err_per_iter), np.asarray(r_ref.err_per_iter),
+        atol=1e-12,
+    )
+
+
 @pytest.mark.slow
 def test_plan_stream_gradients_match():
     """Gradients through the stream solve's custom VJP (off-diag cotangent
