@@ -140,6 +140,29 @@ def test_trilinear_out_of_bounds():
     assert float(jnp.linalg.norm(g[4])) > 0.0
 
 
+def test_trilinear_reference_oob_mode_collapses_to_zero():
+    """Under the 'reference' OOB mode (bit-faithful clamped-index weights,
+    ops/sdf.py:_axis_weights) a fully out-of-grid query collapses to
+    d = 0 with zero gradient — same semantics as the 2-D lookup's parity
+    branch, extended to the z axis."""
+    sdf, res = _world()
+    try:
+        sdf_ops.set_oob_mode("reference")
+        pts = jnp.asarray([[40.0, 40.0, 40.0], [0.0, 0.0, 0.0]])
+        d, g = sdf_ops.trilinear_lookup(sdf, pts, res, **LIMS)
+        assert float(d[0]) == 0.0
+        np.testing.assert_allclose(np.asarray(g[0]), 0.0)
+        # In-bounds values agree with the intended mode.
+        sdf_ops.set_oob_mode("intended")
+        d2, g2 = sdf_ops.trilinear_lookup(sdf, pts[1:], res, **LIMS)
+        sdf_ops.set_oob_mode("reference")
+        d3, g3 = sdf_ops.trilinear_lookup(sdf, pts[1:], res, **LIMS)
+        np.testing.assert_allclose(np.asarray(d3), np.asarray(d2))
+        np.testing.assert_allclose(np.asarray(g3), np.asarray(g2))
+    finally:
+        sdf_ops.set_oob_mode("intended")
+
+
 def test_trilinear_z_convention_unflipped():
     """Voxel z-index 0 sits at z_lims[0]; higher z reads deeper layers
     (no flip), while y keeps the image-row flip."""
