@@ -119,6 +119,7 @@ def plan_multistart(
     contact_weight: float = 1e6,
     prune_iters: int = 0,
     keep: int = 0,
+    select_margin: float = 0.0,
 ) -> MultistartResult:
     """Plan ``restarts`` perturbed seeds per problem as one batch, select
     the best per problem.  Fully jittable (fixed shapes, no Python loop);
@@ -180,7 +181,8 @@ def plan_multistart(
                       unroll=unroll, track_best=track)
         sel = select_best(spec, robot, rep(res), sdf_t, restarts, b,
                           contact_weight=contact_weight,
-                          params_t=params_t if wg else None)
+                          params_t=params_t if wg else None,
+                          select_margin=select_margin)
         return sel._replace(iters=pick_iters(res.iters, restarts, sel.k_best))
 
     # Phase 1: all K seeds, prune_iters iterations.
@@ -189,6 +191,7 @@ def plan_multistart(
                    track_best=track)
     score1, _ = score_candidates(spec, robot, rep(res1), sdf_t,
                                  contact_weight,
+                                 select_margin=select_margin,
                                  params=params_t if wg else None)
     # Per-problem top-`keep` (lowest score): (K, B) -> idx (B, keep).
     _, idx = jax.lax.top_k(-score1.reshape(restarts, b).T, keep)
@@ -214,7 +217,7 @@ def plan_multistart(
     sel = select_best(spec, robot, pool, jnp.tile(sdf, (2 * keep,) + (1,) * (sdf.ndim - 1)),
                       2 * keep, b, contact_weight=contact_weight,
                       params_t=tile_params(params, b, 2 * keep) if wg
-                      else None)
+                      else None, select_margin=select_margin)
 
     def gather_vec(x_kb_flat):
         # (K·b,) K-major -> survivors' values, keep-major (keep·b,).
@@ -229,9 +232,19 @@ def plan_multistart(
 
 
 def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6,
-                     params=None):
+                     params=None, select_margin: float = 0.0):
     """(N, T+1, D) candidates against (N, H, W) SDFs -> (score (N,),
     contact (N,)): contact depth dominates, smoothness breaks ties.
+
+    ``select_margin`` (metres) aligns selection with margin-based
+    judging: obstacle clearance shortfalls inside ``radius +
+    select_margin`` join the score at ``1e-3·contact_weight`` — far
+    below true contact, far above smoothness — so among contact-free
+    candidates the margin-clear one wins instead of a
+    smoother-but-tighter path (the columns-family +ms regression in
+    ``runs/plan3d/table.md``).  The returned ``contact`` (and the
+    ``contact_free`` flag derived from it) stays defined at the bare
+    radius regardless.
 
     Under ``spec.use_workspace_goal`` pass the (tiled) ``params``: the
     terminal tip-to-target error joins the score between contact and
@@ -285,6 +298,12 @@ def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6,
     vel = th[..., spec.dof:]
     smooth = jnp.mean(jnp.sum(jnp.diff(vel, axis=-2) ** 2, -1), -1)
     score = contact * contact_weight + smooth
+    if select_margin > 0.0:
+        pen_m = jnp.maximum(
+            radii[None, None, :] + select_margin
+            - d[..., :n_sup].reshape(n, t1, l), 0.0)
+        score = score + (1e-3 * contact_weight) * jnp.sum(
+            pen_m[:, 1:-1, :], axis=(-2, -1))
     if spec.use_workspace_goal:
         if params is None:
             raise ValueError(
@@ -301,14 +320,16 @@ def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6,
 
 def select_best(spec, robot, th, sdf_t, restarts: int, b: int,
                 contact_weight: float = 1e6,
-                params_t=None) -> MultistartResult:
+                params_t=None, select_margin: float = 0.0
+                ) -> MultistartResult:
     """Select the winning candidate per problem from (K·B) planned
     trajectories (K-major, matching :func:`plan_multistart`'s tiling) —
     exposed separately so any planner (e.g. the learned-covariance one)
     can compose with multi-start seeds.  ``params_t``: the K-tiled
     GraphParams, required under ``spec.use_workspace_goal``."""
     score, contact = score_candidates(spec, robot, th, sdf_t,
-                                      contact_weight, params=params_t)
+                                      contact_weight, params=params_t,
+                                      select_margin=select_margin)
     score_kb = score.reshape(restarts, b)
     th_kb = th.reshape(restarts, b, *th.shape[1:])
     k_best = jnp.argmin(score_kb, axis=0)

@@ -148,7 +148,7 @@ class MultistartPlanningAdapter:
     def __init__(self, spec, robot, cov_scalars: dict,
                  optim_cfg=None, restarts: int = 16, amp: float = 1.5,
                  prune_iters: int = 0, keep: int = 0, seed: int = 0,
-                 dtype=jnp.float32):
+                 select_margin: float = 0.0, dtype=jnp.float32):
         from .core import gn, multistart
 
         self._gn = gn
@@ -161,6 +161,9 @@ class MultistartPlanningAdapter:
         self.amp = amp
         self.prune_iters = prune_iters
         self.keep = keep
+        # Selection margin (metres): align candidate selection with
+        # margin-based quality metrics (core.multistart.score_candidates).
+        self.select_margin = select_margin
         self.rng = jax.random.PRNGKey(seed)
         self.dtype = dtype
 
@@ -177,6 +180,7 @@ class MultistartPlanningAdapter:
             self.spec, self.robot, params, th0, sdf, self.cfg, self.rng,
             restarts=self.restarts, amp=self.amp,
             prune_iters=self.prune_iters, keep=self.keep,
+            select_margin=self.select_margin,
         )
         return _AdapterResult(
             th=res.th,

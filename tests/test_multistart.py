@@ -209,6 +209,47 @@ def test_plan_multistart_improves_on_clutter():
                                np.asarray(th0[:, 0, :2]), atol=0.5)
 
 
+def test_select_margin_prefers_margin_clear_candidate():
+    """With select_margin set, a margin-clear candidate beats a
+    smoother-but-tighter contact-free one; with margin 0 the smoother
+    path wins (the columns-family +ms regression of
+    runs/plan3d/table.md).  contact_free stays radius-defined."""
+    from dgpmp2_tpu.core.multistart import select_best
+    from dgpmp2_tpu.ops import sdf as sdf_ops
+
+    n = 64
+    img = np.ones((n, n))
+    img[:, 30:34] = 0.0  # vertical wall around x in [-0.31, 0.31]
+    sdf = sdf_ops.sdf_from_occupancy(jnp.asarray(img, jnp.float64),
+                                     res=10.0 / n)
+    spec = graph.GraphSpec(total_time_step=10)
+    robot = ROBOT
+    t1 = 11
+    s = np.linspace(0.0, 1.0, t1)
+
+    def traj(x_run, wiggle=0.0):
+        # Constant-x run down the wall face, optional x-wiggle.
+        x = x_run + wiggle * np.sin(2 * np.pi * s)
+        y = -4.0 + 8.0 * s
+        pos = np.stack([x, y], -1)
+        vel = np.gradient(pos, axis=0)
+        return np.concatenate([pos, vel], -1)
+
+    # Wall face sits at x ≈ -0.31.  Candidate A runs at d ≈ 0.5 — clears
+    # the 0.4 radius but sits inside a 0.2 margin — and is perfectly
+    # smooth; candidate B runs margin-clear at d ≈ 0.9 with a slight
+    # wiggle (strictly less smooth).
+    th = jnp.asarray(np.stack([traj(-0.81), traj(-1.21, wiggle=0.05)]),
+                     jnp.float64)
+    sdf_t = jnp.broadcast_to(sdf, (2, n, n))
+    plain = select_best(spec, robot, th, sdf_t, restarts=2, b=1)
+    margin = select_best(spec, robot, th, sdf_t, restarts=2, b=1,
+                         select_margin=0.2)
+    assert int(plain.k_best[0]) == 0, "margin-0 must pick the tighter path"
+    assert int(margin.k_best[0]) == 1, "margin must pick the clear path"
+    assert bool(plain.contact_free[0]) and bool(margin.contact_free[0])
+
+
 def test_plan_multistart_reports_winner_iters():
     """MultistartResult.iters is the winning candidate's actual GN
     iteration count: bounded by max_iters (plus phase sum when staged),

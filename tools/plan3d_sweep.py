@@ -132,7 +132,8 @@ def main(argv=None):
         ms = multistart.plan_multistart(
             spec, robot, params_b, th0, sdfb, cfg_b,
             jax.random.PRNGKey(args.seed), restarts=args.restarts, amp=2.0,
-            prune_iters=10, keep=max(2, args.restarts // 4))
+            prune_iters=10, keep=max(2, args.restarts // 4),
+            select_margin=0.5 * EPS)
         solve, cf, sm = judge(spec, robot, ms.th, sdfb, res)
         fam_rows["best_static"] = dict(row_b, sigma=sigma_b)
         fam_rows[f"ms{args.restarts}"] = {
