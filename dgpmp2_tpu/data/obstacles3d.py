@@ -144,8 +144,13 @@ def make_map3d(
 ):
     """Sample one voxel world of the given family (parameterizations scaled
     from the 2-D families of ``generate_2d_dataset.py:29-88``)."""
+    # Free volume grows CUBICALLY with size — obstacle counts must scale
+    # with volume (scatter) or cross-section (columns), not linearly,
+    # or larger worlds trivialize (runs/plan3d saturation note).
+    vol = (size / 32.0) ** 3
+    area = (size / 32.0) ** 2
     if family == "boxes3d":
-        n = int(rng.integers(3, 7))
+        n = int(rng.integers(3, 7) * vol)
         w = size // 6
         s = int(0.1 * size)
         return box_obstacle_map3d(
@@ -153,7 +158,7 @@ def make_map3d(
             region=(s, size - s), patch_pts=patch_pts, patch_obs=patch_obs,
         )
     if family == "scatter3d":
-        n = int(rng.integers(20, 40))
+        n = int(rng.integers(30, 60) * vol)
         w = max(3, size // 14)
         return box_obstacle_map3d(
             rng, size, n, pts_zyx, (w, w + 2),
@@ -162,7 +167,7 @@ def make_map3d(
     if family == "window":
         return window_map3d(rng, size, pts_zyx, patch_pts=patch_pts)
     if family == "columns":
-        n = int(rng.integers(8, 16))
+        n = int(rng.integers(10, 20) * area)
         w = max(3, size // 12)
         return box_obstacle_map3d(
             rng, size, n, pts_zyx, (w, w + 3), patch_pts=patch_pts,
