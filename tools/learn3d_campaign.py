@@ -52,8 +52,8 @@ from dgpmp2_tpu.utils.trajectory import straight_line_traj
 from plan3d_sweep import judge  # geometric canonical-margin judging
 
 LIMS = (-5.0, 5.0)
-SIZE = 32          # 32³ voxels: conv feats 2³·32 = 256
-T = 20
+SIZE = 32          # default; --size (multiple of 16 for the 4 pool stages)
+T = 20             # default; --t
 EPS = 0.4
 SIGMAS = (0.01, 0.02, 0.05, 0.1)
 COV = dict(qc_inv=np.eye(3), cost_sigma=0.05, epsilon_dist=EPS,
@@ -106,8 +106,14 @@ def main(argv=None):
     p.add_argument("--probs", type=int, default=4)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--size", type=int, default=SIZE)
+    p.add_argument("--t", type=int, default=T)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    global SIZE, T
+    SIZE, T = args.size, args.t
+    if SIZE % 16:
+        raise SystemExit("--size must be a multiple of 16 (4 pool stages)")
     os.makedirs(args.out, exist_ok=True)
     res = (LIMS[1] - LIMS[0]) / SIZE
 
