@@ -98,6 +98,7 @@ def eval_rates(spec, robot, th, batch, res):
 
 
 def main(argv=None):
+    global SIZE, T
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", required=True)
     p.add_argument("--family", default="boxes3d")
@@ -110,7 +111,6 @@ def main(argv=None):
     p.add_argument("--t", type=int, default=T)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    global SIZE, T
     SIZE, T = args.size, args.t
     if SIZE % 16:
         raise SystemExit("--size must be a multiple of 16 (4 pool stages)")
