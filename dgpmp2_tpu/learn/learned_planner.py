@@ -287,22 +287,32 @@ class LearnedDiffGPMP2Planner:
         train: bool = False,
         rng=None,
         dth_prev=None,
+        delta=None,
     ):
         """One learned GN iteration (``diff_gpmp2_planner.py:176-211``).
 
         Returns (dtheta, err, err_ext, params_used, new_hidden).
         ``feats`` are the conv features (precompute once when
-        ``fixed_conv``; recompute per step otherwise).
+        ``fixed_conv``; recompute per step otherwise).  ``delta``
+        overrides the damping — a per-problem (B,) LM lambda applied as
+        trust-region scaling (``plan(method='lm')`` threads it); None
+        keeps the fixed scalar ``cfg.reg`` GN damping.
         """
         covs, new_hidden, _ = self.predict(
             variables, th, feats, hidden, train=train, rng=rng,
             dth_prev=dth_prev,
         )
         params = self.graph_params(params_fix, covs)
-        dth = gn.gn_step(
-            self.spec, self.robot, params, th, sdf,
-            delta=jnp.asarray(self.cfg.reg, th.dtype),
-        )
+        if delta is None:
+            dth = gn.gn_step(
+                self.spec, self.robot, params, th, sdf,
+                delta=jnp.asarray(self.cfg.reg, th.dtype),
+            )
+        else:
+            dth = gn.gn_step(
+                self.spec, self.robot, params, th, sdf,
+                delta=delta, trust_region=True,
+            )
         err = jax.lax.stop_gradient(
             graph.graph_error(self.spec, self.robot, params, th, sdf)
         )
@@ -342,6 +352,7 @@ class LearnedDiffGPMP2Planner:
         tracked-best ``th`` when ``track_best`` is on).
         """
         iters = max_iters or self.cfg.max_iters
+        lm = self.cfg.method == "lm"
         im_stack = self.stack_inputs(im, sdf)
         feats = self.conv_features(variables, im_stack, train=False)
         if self.recurrent and hidden is None:
@@ -378,25 +389,42 @@ class LearnedDiffGPMP2Planner:
             return jnp.where(colliding, jnp.inf, gp_mse)
 
         def body(carry, _):
-            th, hid, dth_prev, best = carry
-            dth, err, err_ext, _, hid = self.step(
+            th, hid, dth_prev, best, lam = carry
+            dth, err, err_ext, params_used, hid = self.step(
                 variables, params_fix, th, sdf, feats, hid, train=False,
-                dth_prev=dth_prev,
+                dth_prev=dth_prev, delta=lam if lm else None,
             )
             th_new = th + dth
+            if lm:
+                # LM accept/reject on the moving surface: both errors are
+                # evaluated under THIS iteration's predicted covariances
+                # (params_used) — comparing against last iteration's error
+                # (different covariances) would be meaningless.  Same
+                # 10x / /10 lambda schedule as gn.plan
+                # (``gpmp2_planner.py:92-103``); covariances beyond
+                # reference, LM composition beyond reference too.
+                err_prop = jax.lax.stop_gradient(graph.graph_error(
+                    self.spec, self.robot, params_used, th_new, sdf))
+                accept = err_prop < err
+                th_new = jnp.where(accept[:, None, None], th_new, th)
+                dth = jnp.where(accept[:, None, None], dth,
+                                jnp.zeros_like(dth))
+                lam = jnp.where(accept, lam / 10.0, lam * 10.0)
             if track_best:
                 best_th, best_s = best
                 s = jax.lax.stop_gradient(best_score(th_new))
                 better = s < best_s
                 best = (jnp.where(better[:, None, None], th_new, best_th),
                         jnp.minimum(s, best_s))
-            return (th_new, hid, dth, best), (err, err_ext)
+            return (th_new, hid, dth, best, lam), (err, err_ext)
 
         best0 = ((th_init, jax.lax.stop_gradient(best_score(th_init)))
                  if track_best else ())
-        (th, hidden, _, best), (errs, errs_ext) = jax.lax.scan(
-            body, (th_init, hidden, jnp.zeros_like(th_init), best0), None,
-            length=iters,
+        lam0 = jnp.full((th_init.shape[0],), self.cfg.lm_lambda_init,
+                        th_init.dtype)
+        (th, hidden, _, best, _), (errs, errs_ext) = jax.lax.scan(
+            body, (th_init, hidden, jnp.zeros_like(th_init), best0, lam0),
+            None, length=iters,
         )
         th_final = th
         if track_best:

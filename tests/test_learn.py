@@ -218,6 +218,44 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0]  # overfits the fixed toy batch
 
 
+def test_learned_lm_plan_matches_fixed_lm_planner():
+    """OptimConfig(method='lm') drives the learned planner's plan() with
+    the accept/reject 10x lambda schedule.  With static_init the
+    predicted covariances are constant, so learned-LM must reproduce
+    gn.plan(method='lm') exactly (convergence checks disabled: gn.plan
+    freezes converged problems, the learned scan does not)."""
+    cfg = gn.OptimConfig(reg=0.1, max_iters=8, method="lm",
+                         conv_check_dtheta=False, conv_check_err=False)
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, cfg,
+        LearnedPlannerConfig(dynamics_mode="diag_identity",
+                             static_init=(1.0, 0.1, 0.4)),
+    )
+    batch = _toy_batch()
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    th0 = batch["th_opt"]
+    variables = planner.init_variables(jax.random.PRNGKey(0), im_stack, th0)
+    params = graph.default_params(
+        SPEC, ROBOT, batch["start"], batch["goal"], **batch["cov_scalars"],
+        dtype=jnp.float32,
+    )
+    th_l, errs, _, _ = planner.plan(variables, params, th0, batch["sdf"],
+                                    batch["im"])
+    ref = gn.plan(SPEC, ROBOT, params, th0, batch["sdf"], cfg)
+    # f32 tolerance: gn.plan assembles from carried residuals with hoisted
+    # static blocks, the learned step assembles fresh — different f32
+    # summation orders drift ~3e-4 over 8 LM iterations.  A flipped
+    # accept/reject or lambda mismatch would diverge by O(0.1); this
+    # tolerance still pins the schedule exactly.
+    np.testing.assert_allclose(np.asarray(th_l), np.asarray(ref.th),
+                               rtol=2e-3, atol=1e-3)
+    # The learned trace logs err at the CURRENT iterate (pre-update),
+    # gn.plan logs err_next (post-update): compare shifted by one.
+    np.testing.assert_allclose(np.asarray(errs)[1:],
+                               np.asarray(ref.err_per_iter)[:-1],
+                               rtol=2e-3, atol=1e-4)
+
+
 def test_static_init_head_matches_fixed_planner():
     """With static_init the learned planner's first step equals the
     fixed-covariance planner exactly (zero-init final kernel + sqrt-bias)."""
