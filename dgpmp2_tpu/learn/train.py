@@ -118,6 +118,16 @@ def make_train_step(
     sliding = train_cfg.tk2 is not None
     if train_cfg.tk2 is not None:
         assert train_cfg.tk2 >= train_cfg.tk, "tk2 must be >= tk"
+    # LM training windows (accept/reject + per-problem lambda, mirroring
+    # learned_planner.plan(method='lm')): chunked path only — the sliding
+    # look-back and optimize_tk replays would need the lambda carry
+    # threaded through their window replans; fail loudly instead of
+    # silently training GN while eval runs LM.
+    lm = planner.cfg.method == "lm"
+    if lm and (sliding or train_cfg.optimize_tk):
+        raise NotImplementedError(
+            "method='lm' training supports the chunked tk path only "
+            "(unset tk2 / optimize_tk)")
 
     def loss_fn(variables, batch, rng):
         im, sdf = batch["im"], batch["sdf"]
@@ -144,7 +154,7 @@ def make_train_step(
             )
 
         def window(carry, rng_w):
-            th, hid, dth_prev = carry
+            th, hid, dth_prev, lam = carry
             th = jax.lax.stop_gradient(th)  # TBPTT truncation boundary
             hid = jax.tree.map(jax.lax.stop_gradient, hid)
             # Previous GN update is a head input under dtheta_predict —
@@ -154,18 +164,30 @@ def make_train_step(
             loss_acc = 0.0
             rngs = jax.random.split(rng_w, train_cfg.tk)
             for i in range(train_cfg.tk):
-                dth, _, _, params_used, hid = planner.step(
+                dth, err, _, params_used, hid = planner.step(
                     variables, params_fix, th, sdf, feats, hid,
                     train=True, rng=rngs[i], dth_prev=dth_prev,
+                    delta=lam if lm else None,
                 )
                 th_new = th + dth
+                if lm:
+                    # Same moving-surface accept test as
+                    # learned_planner.plan: both errors under THIS
+                    # iteration's predicted covariances.
+                    err_prop = jax.lax.stop_gradient(graph.graph_error(
+                        spec, planner.robot, params_used, th_new, sdf))
+                    accept = err_prop < err
+                    th_new = jnp.where(accept[:, None, None], th_new, th)
+                    dth = jnp.where(accept[:, None, None], dth,
+                                    jnp.zeros_like(dth))
+                    lam = jnp.where(accept, lam / 10.0, lam * 10.0)
                 if train_cfg.use_inter_loss or i == train_cfg.tk - 1:
                     terms = _step_loss(spec, planner.robot, params_fix, sdf,
                                        dth, th, th_new, th_opt, weights)
                     loss_acc = loss_acc + terms.total
                 th, dth_prev = th_new, dth
             denom = train_cfg.tk if train_cfg.use_inter_loss else 1
-            return (th, hid, dth_prev), loss_acc / denom
+            return (th, hid, dth_prev, lam), loss_acc / denom
 
         def loss_at(dth, th, th_new):
             return _step_loss(spec, planner.robot, params_fix, sdf,
@@ -233,8 +255,10 @@ def make_train_step(
         else:
             if train_cfg.remat:
                 window = jax.checkpoint(window)
-            (th, _, _), losses = jax.lax.scan(
-                window, (th0, hidden0, jnp.zeros_like(th0)),
+            lam0 = jnp.full((th0.shape[0],), planner.cfg.lm_lambda_init,
+                            jnp.float32)
+            (th, _, _, _), losses = jax.lax.scan(
+                window, (th0, hidden0, jnp.zeros_like(th0), lam0),
                 jax.random.split(rng, n_chunks),
             )
         total = jnp.mean(losses)

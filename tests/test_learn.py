@@ -199,6 +199,39 @@ def test_learned_plan_multistart_staged(model_type):
 
 
 @pytest.mark.slow
+def test_train_step_lm_windows():
+    """method='lm' threads accept/reject + the lambda carry through the
+    chunked TBPTT windows: finite metrics, weights move, and the sliding /
+    optimize_tk paths refuse loudly instead of silently training GN."""
+    cfg = gn.OptimConfig(reg=0.1, max_iters=8, method="lm")
+    planner = LearnedDiffGPMP2Planner(
+        SPEC, ROBOT, cfg,
+        LearnedPlannerConfig(dynamics_mode="diag_identity",
+                             static_init=(1.0, 0.1, 0.4)),
+    )
+    batch = _toy_batch()
+    tx = make_optimizer("adam", {"alpha": 1e-3})
+    train_step = make_train_step(planner, tx, LossWeights(),
+                                 TrainConfig(T=4, tk=2))
+    im_stack = planner.stack_inputs(batch["im"], batch["sdf"])
+    state = init_train_state(planner, tx, jax.random.PRNGKey(0), im_stack,
+                             batch["th_opt"])
+    v0 = jax.tree.map(lambda x: x.copy(), state.variables)
+    for i in range(2):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
+    assert all(bool(jnp.all(jnp.isfinite(v)))
+               for v in jax.tree.leaves(metrics))
+    moved = sum(float(jnp.max(jnp.abs(a - b))) for a, b in
+                zip(jax.tree.leaves(v0), jax.tree.leaves(state.variables)))
+    assert moved > 0.0
+    with pytest.raises(NotImplementedError):
+        make_train_step(planner, tx, LossWeights(),
+                        TrainConfig(T=4, tk=2, tk2=3))
+    with pytest.raises(NotImplementedError):
+        make_train_step(planner, tx, LossWeights(),
+                        TrainConfig(T=4, tk=2, optimize_tk=True))
+
+
 def test_train_step_decreases_loss():
     planner = _make_planner()
     batch = _toy_batch()
