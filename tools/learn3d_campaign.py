@@ -230,7 +230,7 @@ def main(argv=None):
         f"Regenerate: `python tools/learn3d_campaign.py --out {args.out} "
         f"--family {args.family} --num_train {args.num_train} "
         f"--num_test {args.num_test} --epochs {args.epochs} "
-        f"--seed {args.seed}`",
+        f"--seed {args.seed} --size {SIZE} --t {T}`",
         "",
         "| config | solve_rate | contact_free_rate |",
         "|---|---|---|",
