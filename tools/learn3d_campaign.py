@@ -110,6 +110,10 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=SIZE)
     p.add_argument("--t", type=int, default=T)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--loss", default="task", choices=("task", "anchor"),
+                   help="task: task-only ext loss (2-D eps_bounded recipe); "
+                        "anchor: + mild expert-MSE term (2-D eps_anchor, "
+                        "the dominant 2-D config)")
     args = p.parse_args(argv)
     SIZE, T = args.size, args.t
     if SIZE % 16:
@@ -162,8 +166,9 @@ def main(argv=None):
     planner = LearnedDiffGPMP2Planner(
         spec, robot, gn.OptimConfig(reg=0.1, max_iters=50, method="lm"),
         lcfg)
-    weights = LossWeights(pos_loss_weight=0.0, ext_loss_weight=1.0,
-                          ext_obs_lambda=5.0)
+    weights = LossWeights(
+        pos_loss_weight=0.05 if args.loss == "anchor" else 0.0,
+        ext_loss_weight=1.0, ext_obs_lambda=5.0)
     tx = make_optimizer("adam", {"alpha": 1e-4})
     tcfg = TrainConfig(T=10, tk=5)
     train_step = make_train_step(planner, tx, weights, tcfg)
@@ -216,7 +221,7 @@ def main(argv=None):
         "static": {str(k): v for k, v in static_rows.items()},
         "best_sigma": float(best_sigma),
         "learned": {"solve_rate": t_solve, "contact_free_rate": t_cf,
-                    "val_epoch": int(best[2])},
+                    "val_epoch": int(best[2]), "loss": args.loss},
         "history": history,
     }
     with open(os.path.join(args.out, "results.yaml"), "w") as fp:
@@ -230,14 +235,14 @@ def main(argv=None):
         f"Regenerate: `python tools/learn3d_campaign.py --out {args.out} "
         f"--family {args.family} --num_train {args.num_train} "
         f"--num_test {args.num_test} --epochs {args.epochs} "
-        f"--seed {args.seed} --size {SIZE} --t {T}`",
+        f"--seed {args.seed} --size {SIZE} --t {T} --loss {args.loss}`",
         "",
         "| config | solve_rate | contact_free_rate |",
         "|---|---|---|",
         f"| static_best (sigma {best_sigma}) | {bs['solve_rate']:.4f} | "
         f"{bs['contact_free_rate']:.4f} |",
-        f"| **eps_bounded-3d** (one model) | **{t_solve:.4f}** | "
-        f"{t_cf:.4f} |",
+        f"| **eps_bounded-3d** ({args.loss} loss, one model) | "
+        f"**{t_solve:.4f}** | {t_cf:.4f} |",
         "",
     ])
     with open(os.path.join(args.out, "table.md"), "w") as fp:
