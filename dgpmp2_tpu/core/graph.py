@@ -142,6 +142,34 @@ class GraphSpec:
         reference hot path does (``obstacle_cost.py:35``)."""
         return (self.x_lims[1] - self.x_lims[0]) / float(sdf_width)
 
+    def validate_grid(self, sdf_shape) -> None:
+        """Trace-time check that the SDF grid is consistent with the world
+        extents at the x-derived resolution.
+
+        ``res`` is derived solely from the x extent and the grid width; a
+        non-cubic voxel grid or mismatched ``y_lims``/``z_lims`` would
+        otherwise silently read the SDF at wrong y/z coordinates (the
+        trilinear lookup takes a single scalar ``res``).  Shapes are
+        static under jit, so this costs nothing at runtime.
+        """
+        r = self.res(sdf_shape[-1])
+        y_ext = self.y_lims[1] - self.y_lims[0]
+        checks = [("y_lims", y_ext, sdf_shape[-2])]
+        if self.z_lims is not None:
+            z_ext = self.z_lims[1] - self.z_lims[0]
+            checks.append(("z_lims", z_ext, sdf_shape[-3]))
+        for name, ext, cells in checks:
+            got = ext / float(cells)
+            if abs(got - r) > 1e-6 * max(abs(r), 1.0):
+                raise ValueError(
+                    f"SDF grid inconsistent with workspace extents: "
+                    f"{name} extent {ext} over {cells} cells gives "
+                    f"{got:.6g} m/cell but x-derived res is {r:.6g} "
+                    f"m/cell (sdf shape {tuple(sdf_shape)}, x_lims "
+                    f"{self.x_lims}, y_lims {self.y_lims}, z_lims "
+                    f"{self.z_lims}); voxels must be square/cubical"
+                )
+
 
 class GraphParams(struct.PyTreeNode):
     """Per-problem factor parameters (batched pytree).
@@ -225,6 +253,7 @@ def eval_residuals(
     sdf: jnp.ndarray,
 ) -> FactorResiduals:
     """Evaluate every factor once at ``th`` (one SDF lookup total)."""
+    spec.validate_grid(sdf.shape)
     dtype = th.dtype
     r_gp = factors.gp_residual(th, dt=spec.dt)
     r_s = factors.prior_residual(params.start, th[..., 0, :])

@@ -87,9 +87,11 @@ class MultistartResult(NamedTuple):
     # whose order is the top-k permutation) — NOT an original restart.
     k_best: jnp.ndarray
     contact_free: jnp.ndarray  # (B,) bool: selected traj clears the radius
-    # (B,) GN iterations the winning candidate actually ran (per-problem
-    # convergence freeze; staged pruning sums phase-1 + phase-2).  None
-    # only when constructed by bare select_best.
+    # (B,) GN iterations the winning candidate actually RAN (per-problem
+    # convergence freeze; staged pruning sums phase-1 + phase-2).  Under
+    # ``track_best`` the returned trajectory may be an EARLIER iterate of
+    # that run — iters is "iterations spent", not "iteration index of the
+    # returned iterate".  None only when constructed by bare select_best.
     iters: Optional[jnp.ndarray] = None
 
 
@@ -302,8 +304,19 @@ def score_candidates(spec, robot, th, sdf, contact_weight: float = 1e6,
         pen_m = jnp.maximum(
             radii[None, None, :] + select_margin
             - d[..., :n_sup].reshape(n, t1, l), 0.0)
-        score = score + (1e-3 * contact_weight) * jnp.sum(
-            pen_m[:, 1:-1, :], axis=(-2, -1))
+        margin_pen = jnp.sum(pen_m[:, 1:-1, :], axis=(-2, -1))
+        if spec.use_gp_inter:
+            # Same coverage as the contact term: a candidate that is
+            # margin-tight only *between* support states must not win
+            # either — that is the exact failure mode the margin fixes.
+            pen_mi = jnp.maximum(
+                radii[None, None, None, :] + select_margin
+                - d[..., n_sup:].reshape(n, spec.num_gp_factors,
+                                         spec.num_inter, l),
+                0.0,
+            )
+            margin_pen = margin_pen + jnp.sum(pen_mi, axis=(-3, -2, -1))
+        score = score + (1e-3 * contact_weight) * margin_pen
     if spec.use_workspace_goal:
         if params is None:
             raise ValueError(

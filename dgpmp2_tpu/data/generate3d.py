@@ -44,8 +44,14 @@ def sample_start_goal_3d(rng, n, lims):
     return s2, g2
 
 
-def world_to_vox(pts_xyz, lims, res):
-    """(N, 3) world (x, y, z) -> (N, 3) fractional (z, row, col) indices."""
+def world_to_vox_zyx(pts_xyz, lims, res):
+    """(N, 3) world (x, y, z) -> (N, 3) fractional (z, row, col) indices.
+
+    AXIS-ORDER WARNING: **zyx order** (depth, row, col), matching the
+    ``(D, H, W)`` occupancy-grid indexing that ``obstacles3d`` carves
+    into.  The opposite convention — xyz-ordered indices for SDF query
+    points — lives in :meth:`envs.Env3D.to_voxel_xyz`.
+    """
     lo, _ = lims
     out = np.empty_like(pts_xyz)
     out[:, 0] = -lo / res + pts_xyz[:, 2] / res          # z -> depth
@@ -98,7 +104,7 @@ def generate_split3d(
     while env_idx < num_envs:
         for _ in range(max_env_retries):
             start, goal = sample_start_goal_3d(rng, probs_per_env, lims)
-            pts_zyx = world_to_vox(np.concatenate([start, goal]), lims, res)
+            pts_zyx = world_to_vox_zyx(np.concatenate([start, goal]), lims, res)
             vox = obstacles3d.make_map3d(family, rng, size, pts_zyx,
                                          patch_pts, patch_obs)
             sdf_np = np.asarray(sdf_ops.sdf_from_occupancy_3d(

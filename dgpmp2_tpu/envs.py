@@ -180,8 +180,17 @@ class Env3D:
 
     # -- transforms ---------------------------------------------------------
 
-    def to_voxel(self, pts):
-        """(…, 3) world (x, y, z) -> fractional (col, row, depth) indices."""
+    def to_voxel_xyz(self, pts):
+        """(…, 3) world (x, y, z) -> fractional (col, row, depth) indices.
+
+        AXIS-ORDER WARNING: this returns **xyz order** (col, row, depth) —
+        the order :func:`ops.sdf.trilinear_lookup` expects for query
+        points.  The dataset generator's
+        :func:`data.generate3d.world_to_vox_zyx` returns the OPPOSITE
+        **zyx order** (depth, row, col), matching the ``(D, H, W)`` grid
+        indexing that ``data.obstacles3d`` carves into.  Both helpers name
+        their order explicitly so a caller can never silently transpose.
+        """
         pts = np.asarray(pts, np.float64)
         out = np.empty_like(pts)
         out[..., 0] = -self.x_lims[0] / self.res + pts[..., 0] / self.res

@@ -47,10 +47,28 @@ import jax.numpy as jnp
 # B·8.4 MB dense — B=2048 is 17 GB and OOMs a v5e; chunked, any B fits.
 # Default 2 GB: measured on v5e, B=4096@128² runs 21 us/image at 2 GB vs
 # 117 us at 512 MB (fewer, larger lax.map steps) while leaving >13 GB HBM
-# for co-resident planner state.
-_EDT_CHUNK_BYTES = int(
-    float(__import__("os").environ.get("DGPMP2_EDT_CHUNK_MB", 2048)) * 2**20
-)
+# for co-resident planner state.  Parsed lazily (per call, from
+# DGPMP2_EDT_CHUNK_MB) so setting the env var after import works and a
+# malformed value degrades to the default with a warning instead of
+# breaking every import of this module.
+_EDT_CHUNK_MB_DEFAULT = 2048.0
+
+
+def _edt_chunk_bytes() -> int:
+    import os
+    import warnings
+
+    raw = os.environ.get("DGPMP2_EDT_CHUNK_MB")
+    if raw is None:
+        return int(_EDT_CHUNK_MB_DEFAULT * 2**20)
+    try:
+        return int(float(raw) * 2**20)
+    except ValueError:
+        warnings.warn(
+            f"DGPMP2_EDT_CHUNK_MB={raw!r} is not a number; using the "
+            f"{_EDT_CHUNK_MB_DEFAULT:.0f} MB default"
+        )
+        return int(_EDT_CHUNK_MB_DEFAULT * 2**20)
 
 
 def _edt_1d_sq(cost_sq: jnp.ndarray) -> jnp.ndarray:
@@ -60,7 +78,7 @@ def _edt_1d_sq(cost_sq: jnp.ndarray) -> jnp.ndarray:
     (n × n) min-reduction — O(n²) ops but fully parallel, which on TPU beats
     the data-dependent Felzenszwalb parabola scan for the ~128–512 px grids
     this framework targets.  When the (..., n, n) broadcast would exceed
-    ``_EDT_CHUNK_BYTES`` (large batches: SDF construction for whole
+    ``DGPMP2_EDT_CHUNK_MB`` (large batches: SDF construction for whole
     datasets / serving warm-up), the output axis is evaluated in chunks
     under ``lax.map`` so peak memory stays bounded while every chunk is
     still a fully parallel min-reduction — the TPU-friendly middle ground
@@ -74,14 +92,15 @@ def _edt_1d_sq(cost_sq: jnp.ndarray) -> jnp.ndarray:
     for s in cost_sq.shape[:-1]:
         lanes *= int(s)
     itemsize = jnp.dtype(cost_sq.dtype).itemsize
-    if lanes * n * n * itemsize <= _EDT_CHUNK_BYTES:
+    chunk_bytes = _edt_chunk_bytes()
+    if lanes * n * n * itemsize <= chunk_bytes:
         # (n, n) pairwise squared offsets; broadcast against (..., 1, n)
         # costs.  Integer arithmetic throughout keeps the transform
         # bit-exact.
         pair = (i[:, None] - i[None, :]) ** 2
         return jnp.min(cost_sq[..., None, :] + pair, axis=-1)
 
-    k = max(1, min(n, _EDT_CHUNK_BYTES // (lanes * n * itemsize)))
+    k = max(1, min(n, chunk_bytes // (lanes * n * itemsize)))
     nchunk = -(-n // k)
     pad = nchunk * k - n
     # Padded output rows recompute row 0 (harmless) and are sliced off.

@@ -127,6 +127,57 @@ def test_tp_mesh_learned_train_step():
     assert not kern.sharding.is_fully_replicated
 
 
+def _problem3d(b, t=10, size=16):
+    """Voxel-workspace twin of :func:`_problem` (z_lims set, trilinear
+    lookups on the obstacle path)."""
+    from dgpmp2_tpu.robots import PointRobot3D
+
+    rng = np.random.default_rng(0)
+    spec = graph.GraphSpec(dof=3, state_dim=6, total_time_step=t,
+                           z_lims=(-5.0, 5.0))
+    robot = PointRobot3D()
+    vox = np.ones((size, size, size), np.float32)
+    vox[size // 3 : size // 2, size // 3 : size // 2,
+        size // 3 : size // 2] = 0.0
+    sdf = sdf_ops.sdf_from_occupancy_3d(
+        jnp.asarray(vox), res=10.0 / size
+    ).astype(jnp.float32)
+    sdfb = jnp.broadcast_to(sdf, (b, size, size, size))
+    start = jnp.zeros((b, 6), jnp.float32).at[:, :3].set(
+        jnp.asarray(rng.uniform(-4.2, -3.6, (b, 3)), jnp.float32))
+    goal = jnp.zeros((b, 6), jnp.float32).at[:, :3].set(
+        jnp.asarray(rng.uniform(3.6, 4.2, (b, 3)), jnp.float32))
+    params = graph.default_params(
+        spec, robot, start, goal, qc_inv=np.eye(3), cost_sigma=0.1,
+        epsilon_dist=0.4, k_s=0.01, k_g=0.01, dtype=jnp.float32,
+    )
+    th0 = straight_line_traj(start[:, :3], goal[:, :3], 10.0, t)
+    return spec, robot, params, th0, sdfb
+
+
+def test_data_parallel_plan3d_matches_single_device():
+    """The 3-D stack (trilinear lookups, voxel SDFs) under GSPMD: a batch
+    sharded over the data axis must reproduce the unsharded plan —
+    extends the certification the 2-D test above gives (VERDICT r3 §4)."""
+    spec, robot, params, th0, sdfb = _problem3d(b=16)
+    cfg = gn.OptimConfig(reg=0.1, max_iters=5)
+
+    @jax.jit
+    def run(p, th, s):
+        return gn.plan(spec, robot, p, th, s, cfg).th
+
+    th_single = run(params, th0, sdfb)
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    th_sh = run(
+        sharding.shard_batch(params, mesh),
+        sharding.shard_batch(th0, mesh),
+        sharding.shard_batch(sdfb, mesh),
+    )
+    np.testing.assert_allclose(
+        np.asarray(th_single), np.asarray(th_sh), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_multihost_mesh_single_process():
     mesh = sharding.make_multihost_mesh(model_parallel=2)
     assert mesh.axis_names == ("dcn", "data", "model")

@@ -181,7 +181,7 @@ def test_plan3d_multistart_and_env3d():
     assert env.is_feasible([-4.0, -4.0, -4.0])
     # world <-> voxel round trip
     w = np.asarray([[1.2, -0.7, 2.1]])
-    np.testing.assert_allclose(env.to_world(env.to_voxel(w)), w, atol=1e-12)
+    np.testing.assert_allclose(env.to_world(env.to_voxel_xyz(w)), w, atol=1e-12)
 
 
 def test_plan3d_serving_dispatch():

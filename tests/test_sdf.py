@@ -49,18 +49,18 @@ def test_edt_chunked_matches_dense(monkeypatch):
     imgs = np.stack([_random_image(rng) for _ in range(2)])
     mask = imgs < 0.5
     dense = np.asarray(sdf_ops.edt(jnp.asarray(mask)))
-    monkeypatch.setattr(sdf_ops, "_EDT_CHUNK_BYTES", 92160)
+    monkeypatch.setenv("DGPMP2_EDT_CHUNK_MB", str(92160 / 2**20))
     chunked = np.asarray(sdf_ops.edt(jnp.asarray(mask)))
     np.testing.assert_array_equal(chunked, dense)
     ref = np.stack([ndimage.distance_transform_edt(~m) for m in mask])
     np.testing.assert_allclose(chunked, ref, atol=1e-9)
     # Single-row chunks (k=1): the degenerate extreme.
-    monkeypatch.setattr(sdf_ops, "_EDT_CHUNK_BYTES", 1)
+    monkeypatch.setenv("DGPMP2_EDT_CHUNK_MB", str(1 / 2**20))
     np.testing.assert_array_equal(np.asarray(sdf_ops.edt(jnp.asarray(mask))), dense)
 
 
 def test_sdf_chunked_under_jit(monkeypatch):
-    monkeypatch.setattr(sdf_ops, "_EDT_CHUNK_BYTES", 92160)
+    monkeypatch.setenv("DGPMP2_EDT_CHUNK_MB", str(92160 / 2**20))
     rng = np.random.default_rng(7)
     img = _random_image(rng)
     out = jax.jit(lambda im: sdf_ops.sdf_from_occupancy(im, res=0.1))(jnp.asarray(img))

@@ -41,7 +41,9 @@ def test_edt3d_batched_and_chunked(monkeypatch):
     for b in range(2):
         ref = ndimage.distance_transform_edt(~mask[b]) ** 2
         np.testing.assert_allclose(dense[b], ref.round().astype(np.int64))
-    monkeypatch.setattr(sdf_ops, "_EDT_CHUNK_BYTES", 4096)
+    # The chunk budget is parsed lazily from the env var per call, so
+    # setting it post-import takes effect (ADVICE r3: no import-time parse).
+    monkeypatch.setenv("DGPMP2_EDT_CHUNK_MB", str(4096 / 2**20))
     chunked = np.asarray(sdf_ops.edt_sq(jnp.asarray(mask), spatial_ndim=3))
     np.testing.assert_array_equal(dense, chunked)
 

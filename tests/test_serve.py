@@ -255,6 +255,65 @@ def test_sharded_service_matches_unsharded(planner, world):
         PlanningService(planner, batch_size=6, mesh=mesh)
 
 
+def test_sharded_service_3d_matches_unsharded():
+    """The mesh-sharded service over a VOXEL world: 3-D planning through
+    the dispatch path must match the unsharded service bit-for-bit
+    (extends the 2-D certification above — VERDICT r3 §4)."""
+    import jax
+
+    from dgpmp2_tpu.core import gn, graph
+    from dgpmp2_tpu.ops import sdf as sdf_ops
+    from dgpmp2_tpu.parallel.sharding import make_mesh
+    from dgpmp2_tpu.robots import PointRobot3D
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(jax.devices()[:8])
+
+    n = 24
+    vox = np.ones((n, n, n), np.float32)
+    vox[9:15, 9:15, 9:15] = 0.0
+    sdf3 = np.asarray(
+        sdf_ops.sdf_from_occupancy_3d(jnp.asarray(vox), res=10.0 / n)
+    )
+
+    spec = graph.GraphSpec(dof=3, state_dim=6, total_time_step=10,
+                           z_lims=(-5.0, 5.0))
+    robot3 = PointRobot3D()
+    cfg = gn.OptimConfig(reg=0.1, max_iters=5)
+
+    class _Static3D:
+        def __init__(self):
+            self.spec = spec
+            self.dtype = jnp.float64
+
+        def plan(self, th0, start, goal, sdfb):
+            params = graph.default_params(
+                spec, robot3, start, goal, qc_inv=np.eye(3),
+                cost_sigma=0.1, epsilon_dist=0.4, k_s=0.01, k_g=0.01,
+                dtype=jnp.float64,
+            )
+            return gn.plan(spec, robot3, params, th0, sdfb, cfg)
+
+    plain = PlanningService(_Static3D(), batch_size=8)
+    sharded = PlanningService(_Static3D(), batch_size=8, mesh=mesh)
+    for svc in (plain, sharded):
+        svc.register_world("vox", sdf3)
+    rng = np.random.default_rng(0)
+    reqs = []
+    for _ in range(5):  # partial batch → padding rows flow through too
+        s = np.zeros(6)
+        g = np.zeros(6)
+        s[:3] = np.array([-4.0, -4.0, -4.0]) + rng.uniform(-0.2, 0.2, 3)
+        g[:3] = np.array([4.0, 4.0, 4.0]) + rng.uniform(-0.2, 0.2, 3)
+        reqs.append(PlanRequest(start=s, goal=g, world="vox"))
+    a = plain.plan_batch_sync(reqs)
+    b = sharded.plan_batch_sync(reqs)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x.th, y.th, atol=1e-12)
+        assert np.all(np.isfinite(x.th))
+
+
 def test_submit_before_start_raises(planner, world):
     svc = PlanningService(planner, batch_size=2)
 

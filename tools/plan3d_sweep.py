@@ -38,7 +38,7 @@ import yaml
 
 from dgpmp2_tpu.core import gn, graph, multistart
 from dgpmp2_tpu.data import obstacles3d
-from dgpmp2_tpu.data.generate3d import sample_start_goal_3d, world_to_vox
+from dgpmp2_tpu.data.generate3d import sample_start_goal_3d, world_to_vox_zyx
 from dgpmp2_tpu.ops import sdf as sdf_ops
 from dgpmp2_tpu.robots import PointRobot3D
 from dgpmp2_tpu.utils.trajectory import straight_line_traj
@@ -57,7 +57,7 @@ def make_problems(family, envs, probs, size, seed):
     sdfs, starts, goals = [], [], []
     for _ in range(envs):
         s, g = sample_start_goal_3d(rng, probs, LIMS)
-        pts = world_to_vox(np.concatenate([s, g]), LIMS, res)
+        pts = world_to_vox_zyx(np.concatenate([s, g]), LIMS, res)
         vox = obstacles3d.make_map3d(family, rng, size, pts, patch, patch)
         sdf = np.asarray(sdf_ops.sdf_from_occupancy_3d(
             jnp.asarray(vox, jnp.float32), res=res), np.float32)
