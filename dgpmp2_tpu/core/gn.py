@@ -56,10 +56,15 @@ class OptimConfig:
     #   "stream"   — force stream-layout assembly + streaming Pallas solve
     #                (core/stream.py) even off-TPU (interpret mode; slow,
     #                test-only).
+    #   "df32"     — two-float (double-float) assembly + block-Thomas solve
+    #                (core/df32.py): ~f64-grade per-step accuracy on the f32
+    #                backend at ~15x the elementwise flops.  Opt-in, for
+    #                when reference(f64)-grade steps are required on TPU —
+    #                measured drift table in docs/F32_PRECISION.md §1b.
     engine: str = "auto"
 
 
-_ENGINES = ("auto", "standard", "stream")
+_ENGINES = ("auto", "standard", "stream", "df32")
 
 
 def resolve_engine(engine: str, dtype) -> str:
@@ -208,7 +213,12 @@ def plan(
     res0 = residuals(th_init)
     err0 = weighted_err(res0)
     static = graph_lib.assemble_static(spec, params, dtype)
-    use_stream = resolve_engine(cfg.engine, dtype) == "stream"
+    engine = resolve_engine(cfg.engine, dtype)
+    use_stream = engine == "stream"
+    use_df32 = engine == "df32"
+    if use_df32 and jnp.dtype(dtype) != jnp.float32:
+        raise ValueError("engine='df32' is an f32-backend accuracy mode; "
+                         "use the standard engine for f64 runs")
     if use_stream:
         from dgpmp2_tpu.core import stream as stream_lib
 
@@ -241,6 +251,12 @@ def plan(
         if use_stream:
             dth = stream_lib.stream_step(
                 spec, params, ss, res, delta, trust_region=lm
+            )
+        elif use_df32:
+            from dgpmp2_tpu.core import df32 as df32_lib
+
+            dth = df32_lib.df32_step_from_residuals(
+                spec, params, res, delta, trust_region=lm
             )
         else:
             diag, off, rhs = graph_lib.assemble_from_residuals(

@@ -1,0 +1,302 @@
+"""Two-float (double-float) arithmetic + the df32 engine.
+
+These tests pin the measured story of ``docs/F32_PRECISION.md`` §1b: the
+f32 single-step ceiling (~cond·ε₃₂ ≈ 1e-2 at the reference's
+``cost_sigma=0.01`` conditioning) is caused by forming/solving the normal
+equations in one f32 word, and a two-float (``DF(hi, lo)``) assembly +
+block-Thomas solve recovers the residual-eval floor (~1e-5 grade) on the
+f32 backend — the reference's f64-end-to-end accuracy
+(``/root/reference/diff_gpmp2/gpmp2/plan_layer.py:210-234``) in production
+precision.  Drift table reproduction: ``python tools/df32_drift.py``.
+
+Layers asserted here:
+1. the error-free transforms (TwoSum/Dekker TwoProd) are *exact* against
+   the f64 oracle, including under ``jax.jit`` (pins that XLA does not
+   reassociate the compensation arithmetic away);
+2. DF add/mul/div/sqrt hit ~2⁻⁴⁹ relative accuracy;
+3. one df32 GN step from the f64 oracle iterate sits at the
+   f32-residual-eval floor (the doc's attribution, measured);
+4. ``engine='df32'`` in :func:`dgpmp2_tpu.core.gn.plan` tracks the f64
+   trajectory closed-loop and refuses f64 inputs / unsupported factors.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgpmp2_tpu.core import df32, gn, graph
+from dgpmp2_tpu.ops import sdf as sdf_ops
+from dgpmp2_tpu.ops import twofloat as tf
+from dgpmp2_tpu.robots import PointRobot2D
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "golden_ref_step.npz")
+
+# DF claims ~2^-49 relative (49-bit effective significand); assert with
+# 8x headroom.
+DF_REL = 2.0 ** -46
+
+
+def _rand_f32(rng, n, scale_pow=12):
+    """f32 samples spanning ~2^±scale_pow magnitudes, both signs."""
+    m = rng.uniform(-1.0, 1.0, n)
+    e = rng.integers(-scale_pow, scale_pow + 1, n)
+    return (m * np.exp2(e)).astype(np.float32)
+
+
+def test_two_sum_exact_vs_f64():
+    """TwoSum is an error-free transform: fl(a+b) + e == a + b exactly.
+
+    The f64 check is exact because the sum of two f32 values is exactly
+    representable as hi + lo with both words f32, and each word converts
+    exactly to f64."""
+    rng = np.random.default_rng(0)
+    a, b = _rand_f32(rng, 4096), _rand_f32(rng, 4096)
+    s, e = tf.two_sum(jnp.asarray(a), jnp.asarray(b))
+    exact = a.astype(np.float64) + b.astype(np.float64)
+    got = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+    np.testing.assert_array_equal(got, exact)
+    # the compensation term is genuinely non-trivial on this data
+    assert np.count_nonzero(np.asarray(e)) > 1000
+
+
+def test_two_prod_exact_vs_f64():
+    """Dekker TwoProd: fl(a*b) + e == a*b exactly (a 48-bit product fits
+    f64's 53-bit significand, so the f64 comparison is exact)."""
+    rng = np.random.default_rng(1)
+    a, b = _rand_f32(rng, 4096), _rand_f32(rng, 4096)
+    p, e = tf.two_prod(jnp.asarray(a), jnp.asarray(b))
+    exact = a.astype(np.float64) * b.astype(np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    np.testing.assert_array_equal(got, exact)
+    assert np.count_nonzero(np.asarray(e)) > 1000
+
+
+def test_error_free_transforms_survive_jit():
+    """Under jit, XLA must not fold ``(a + b) - a`` to ``b`` (no fast-math
+    reassociation on float HLO).  If this ever fails, the whole df32
+    engine silently degrades to plain f32 — this is the canary."""
+    rng = np.random.default_rng(2)
+    a, b = _rand_f32(rng, 4096), _rand_f32(rng, 4096)
+
+    s, e = jax.jit(tf.two_sum)(jnp.asarray(a), jnp.asarray(b))
+    exact = a.astype(np.float64) + b.astype(np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(s, np.float64) + np.asarray(e, np.float64), exact
+    )
+    p, e2 = jax.jit(tf.two_prod)(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(p, np.float64) + np.asarray(e2, np.float64),
+        a.astype(np.float64) * b.astype(np.float64),
+    )
+
+
+def _df_rand(rng, n):
+    hi = _rand_f32(rng, n)
+    lo = hi * _rand_f32(rng, n) * np.float32(2.0**-25)
+    # normalize so hi = fl(hi + lo)
+    s, e = tf.two_sum(jnp.asarray(hi), jnp.asarray(lo))
+    return tf.DF(s, e)
+
+
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "div", "sqrt"])
+def test_df_ops_accuracy(op):
+    rng = np.random.default_rng(hash(op) % 2**31)
+    x = _df_rand(rng, 2048)
+    y = _df_rand(rng, 2048)
+    x64 = np.asarray(tf.to_f64(x))
+    y64 = np.asarray(tf.to_f64(y))
+    if op == "sqrt":
+        x = tf.DF(jnp.abs(x.hi), jnp.where(x.hi < 0, -x.lo, x.lo))
+        x64 = np.abs(x64)
+        got, want = tf.sqrt(x), np.sqrt(x64)
+    elif op == "div":
+        got, want = tf.div(x, y), x64 / y64
+    elif op == "mul":
+        got, want = tf.mul(x, y), x64 * y64
+    elif op == "sub":
+        got, want = tf.sub(x, y), x64 - y64
+    else:
+        got, want = tf.add(x, y), x64 + y64
+    rel = np.abs(np.asarray(tf.to_f64(got)) - want) / np.maximum(
+        np.abs(want), 1e-30
+    )
+    assert float(rel.max()) < DF_REL, (op, float(rel.max()))
+
+
+def test_df_sqrt_zero_is_finite():
+    z = tf.sqrt(tf.df(jnp.zeros(3)))
+    assert not np.any(np.isnan(np.asarray(z.hi)))
+    assert not np.any(np.isnan(np.asarray(z.lo)))
+
+
+def test_df_from_f64_roundtrip():
+    x = np.array([np.pi, 1.0 / 3.0, 1e-7, 12345.6789])
+    d = tf.df_from_f64(x)
+    rel = np.abs(np.asarray(tf.to_f64(d)) - x) / np.abs(x)
+    assert float(rel.max()) < DF_REL
+
+
+# ---------------------------------------------------------------------------
+# df32 GN step on the golden envs (the §1b drift-table protocol)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _reference_oob_mode():
+    sdf_ops.set_oob_mode("reference")
+    yield
+    sdf_ops.set_oob_mode("intended")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN, allow_pickle=False)
+
+
+@pytest.fixture(scope="module")
+def problem(golden):
+    g = golden
+    spec = graph.GraphSpec(
+        total_time_step=int(g["total_time_step"]),
+        total_time_sec=float(g["total_time_sec"]),
+        x_lims=tuple(float(v) for v in g["x_lims"]),
+        y_lims=tuple(float(v) for v in g["y_lims"]),
+    )
+    robot = PointRobot2D(sphere_radii=(float(g["sphere_radius"]),))
+    return spec, robot
+
+
+def _params(golden, spec, robot, dtype, env):
+    g = golden
+    return graph.default_params(
+        spec, robot,
+        jnp.asarray(g[f"start_{env}"], dtype),
+        jnp.asarray(g[f"goal_{env}"], dtype),
+        qc_inv=g["qc_inv"], cost_sigma=float(g["cost_sigma"]),
+        epsilon_dist=float(g["epsilon_dist"]),
+        k_s=g["k_s"], k_g=g["k_g"], dtype=dtype,
+    )
+
+
+def test_df32_step_sits_at_residual_floor(golden, problem):
+    """Open-loop along the f64 oracle (env 1, 12 iterates): the df32 step
+    error vs f64 must (a) be ≤1e-4 absolute — ~100× below the plain-f32
+    ceiling — and (b) match the f32-residual-eval floor (f32 residuals +
+    f64 assembly/solve) within 2×: the measured proof that the f32 error
+    was normal-equation formation, not residual evaluation."""
+    spec, robot = problem
+    g = golden
+    sdf64 = jnp.asarray(g["sdf_1"], jnp.float64)[None]
+    sdf32 = sdf64.astype(jnp.float32)
+    p64 = _params(g, spec, robot, jnp.float64, "1")
+    p32 = _params(g, spec, robot, jnp.float32, "1")
+    th = jnp.asarray(g["th_1"][0], jnp.float64)
+    reg = float(g["reg"])
+    worst_df = 0.0
+    for _ in range(12):
+        th32 = th.astype(jnp.float32)
+        dth64 = gn.gn_step(spec, robot, p64, th, sdf64, reg)
+        d_df = df32.df32_gn_step(spec, robot, p32, th32, sdf32, reg)
+        # floor: identical f32 residuals, f64 downstream
+        res64 = jax.tree.map(
+            lambda a: a.astype(jnp.float64),
+            graph.eval_residuals(spec, robot, p32, th32, sdf32),
+        )
+        diag, off, rhs = graph.assemble_from_residuals(
+            spec, p64, res64, dtype=jnp.float64
+        )
+        from dgpmp2_tpu.ops import tridiag
+
+        d_fl = tridiag.btd_solve_auto(
+            *gn.damped_system(diag, off, rhs, reg)
+        )
+        e_df = float(jnp.max(jnp.abs(dth64 - d_df.astype(jnp.float64))))
+        e_fl = float(jnp.max(jnp.abs(dth64 - d_fl)))
+        worst_df = max(worst_df, e_df)
+        assert e_df <= 2.0 * e_fl + 1e-7, (e_df, e_fl)
+        th = th + dth64
+    # measured worst 2.2e-5 (tools/df32_drift.py); 4x headroom
+    assert worst_df < 1e-4, worst_df
+
+
+def test_plan_engine_df32_tracks_f64(golden, problem):
+    """Closed-loop: gn.plan(engine='df32') on the f32 backend tracks the
+    f64 standard-engine trajectory on the smooth-basin env 5 (plain f32
+    drifts to ~1e-2/step here; df32 holds the whole 8-iter plan ≤1e-3)."""
+    spec, robot = problem
+    g = golden
+    sdf64 = jnp.asarray(g["sdf_5"], jnp.float64)[None]
+    p64 = _params(g, spec, robot, jnp.float64, "5")
+    p32 = _params(g, spec, robot, jnp.float32, "5")
+    th0 = jnp.asarray(g["th_5"][0], jnp.float64)
+    cfg64 = gn.OptimConfig(reg=float(g["reg"]), max_iters=8, tol_delta=0.0)
+    cfg_df = gn.OptimConfig(reg=float(g["reg"]), max_iters=8, tol_delta=0.0,
+                            engine="df32")
+    r64 = gn.plan(spec, robot, p64, th0, sdf64, cfg64)
+    r_df = gn.plan(spec, robot, p32, th0.astype(jnp.float32),
+                   sdf64.astype(jnp.float32), cfg_df)
+    gap = float(jnp.max(jnp.abs(r64.th - r_df.th.astype(jnp.float64))))
+    assert gap < 1e-3, gap
+
+
+def test_plan_engine_df32_rejects_f64(golden, problem):
+    spec, robot = problem
+    g = golden
+    sdf64 = jnp.asarray(g["sdf_1"], jnp.float64)[None]
+    p64 = _params(g, spec, robot, jnp.float64, "1")
+    th0 = jnp.asarray(g["th_1"][0], jnp.float64)
+    cfg = gn.OptimConfig(reg=float(g["reg"]), max_iters=2, engine="df32")
+    with pytest.raises(ValueError, match="df32"):
+        gn.plan(spec, robot, p64, th0, sdf64, cfg)
+
+
+def test_df32_lm_per_problem_lambda(golden, problem):
+    """LM path: trust-region damping with a traced (B,) lambda matches the
+    f64 damped solve at the residual floor."""
+    spec, robot = problem
+    g = golden
+    sdf64 = jnp.asarray(g["sdf_1"], jnp.float64)[None]
+    sdf32 = sdf64.astype(jnp.float32)
+    p64 = _params(g, spec, robot, jnp.float64, "1")
+    p32 = _params(g, spec, robot, jnp.float32, "1")
+    th = jnp.asarray(g["th_1"][0], jnp.float64)
+    th32 = th.astype(jnp.float32)
+    lam32 = jnp.asarray([0.01], jnp.float32)
+
+    res32 = graph.eval_residuals(spec, robot, p32, th32, sdf32)
+    d_df = df32.df32_step_from_residuals(spec, p32, res32, lam32,
+                                         trust_region=True)
+
+    res64 = jax.tree.map(lambda a: a.astype(jnp.float64), res32)
+    diag, off, rhs = graph.assemble_from_residuals(
+        spec, p64, res64, dtype=jnp.float64
+    )
+    from dgpmp2_tpu.ops import tridiag
+
+    d64 = tridiag.btd_solve_auto(
+        *gn.damped_system(diag, off, rhs, lam32.astype(jnp.float64),
+                          trust_region=True)
+    )
+    gap = float(jnp.max(jnp.abs(d64 - d_df.astype(jnp.float64))))
+    assert gap < 1e-4, gap
+
+
+def test_df32_refuses_gp_inter(golden, problem):
+    spec, robot = problem
+    g = golden
+    spec_i = graph.GraphSpec(
+        total_time_step=int(g["total_time_step"]),
+        total_time_sec=float(g["total_time_sec"]),
+        x_lims=tuple(float(v) for v in g["x_lims"]),
+        y_lims=tuple(float(v) for v in g["y_lims"]),
+        use_gp_inter=True,
+    )
+    p32 = _params(g, spec_i, robot, jnp.float32, "1")
+    th32 = jnp.asarray(g["th_1"][0], jnp.float32)
+    sdf32 = jnp.asarray(g["sdf_1"], jnp.float32)[None]
+    res = graph.eval_residuals(spec_i, robot, p32, th32, sdf32)
+    with pytest.raises(NotImplementedError):
+        df32.df32_step_from_residuals(spec_i, p32, res, 0.001)
