@@ -41,6 +41,7 @@ def test_fk_geometry():
     np.testing.assert_allclose(c[5], [2.5, 2.0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_arm_assembly_matches_dense():
     rng = np.random.default_rng(1)
     spec = graph.GraphSpec(total_time_step=8, nlinks=ARM.nlinks)
@@ -96,6 +97,7 @@ def test_arm_plans_around_obstacle():
                                np.asarray(start[0, :2]), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_arm_multistart():
     """Multi-start composes with articulated robots: seeds perturb JOINT
     trajectories (endpoint-exact), scoring runs through the arm's FK and
@@ -165,6 +167,7 @@ def test_nlink_matches_2link_at_n2():
     np.testing.assert_allclose(np.asarray(jn), np.asarray(j2), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_nlink_assembly_matches_dense():
     """Full-stack check: the D=6 (3-link) block system equals the dense
     oracle — the factor graph and solver are dimension-generic."""
@@ -208,6 +211,7 @@ def test_nlink_make_robot_yaml():
     assert r.sphere_radii == (0.2,) * 8
 
 
+@pytest.mark.slow
 def test_learned_planner_composes_with_arm():
     """LearnedDiffGPMP2Planner is robot-generic: the covariance head's
     out_dim follows spec.nlinks (6 body spheres here) and the eps-bounded

@@ -101,6 +101,7 @@ SINGLE_STEP_TOL = 3e-2
 
 
 @pytest.mark.parametrize("env", ["1", "5", "12"])
+@pytest.mark.slow
 def test_f32_single_step_drift_along_oracle(golden, problem, env):
     """One f32 GN step from each f64 oracle iterate, 12 iterations.
 

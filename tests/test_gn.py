@@ -1,5 +1,7 @@
 """End-to-end Gauss-Newton planning: convergence, collision avoidance,
 differentiability through the unrolled optimizer."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +75,7 @@ def test_plan_lm_mode_decreases_error():
     assert errs[-1] < 0.5 * float(result.err_init[0])
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_unrolled_plan():
     spec, robot, params, th0, sdfb = _setup(t=20)
     cfg = gn.OptimConfig(reg=0.1, max_iters=8)

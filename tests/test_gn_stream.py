@@ -76,6 +76,7 @@ CONFIGS = {
 }
 
 
+@pytest.mark.slow
 def test_gn_step_stream_matches_default():
     spec, robot = graph.GraphSpec(total_time_step=7), PointRobot2D()
     params, th0 = _prob(spec, robot)
@@ -87,6 +88,7 @@ def test_gn_step_stream_matches_default():
 
 
 @pytest.mark.parametrize("name", sorted(CONFIGS))
+@pytest.mark.slow
 def test_plan_stream_engine_parity(name):
     spec, robot, method, kw = CONFIGS[name]
     params, th0 = _prob(spec, robot, **kw)
@@ -103,6 +105,7 @@ def test_plan_stream_engine_parity(name):
     )
 
 
+@pytest.mark.slow
 def test_plan_stream_engine_parity_3d():
     """3-D workspaces (trilinear lookup, state_dim 6) through the stream
     engine match the standard path — the bench_throughput --plan3d
@@ -156,6 +159,7 @@ def test_plan_stream_gradients_match():
                                rtol=1e-9, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_plan_stream_production_chunk(monkeypatch):
     """The production CHUNK=16 configuration (bench.py) stays correct:
     T+1=13 pads to tp=16 inside one chunk."""

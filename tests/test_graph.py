@@ -94,6 +94,7 @@ def test_gp_residual_semantics():
         ),
     ],
 )
+@pytest.mark.slow
 def test_block_assembly_matches_dense(spec_kwargs, robot):
     rng = np.random.default_rng(7)
     spec = graph.GraphSpec(total_time_step=12, **spec_kwargs)
@@ -175,6 +176,7 @@ def test_gp_interpolation_exact_on_cv_trajectory():
         )
 
 
+@pytest.mark.slow
 def test_gp_interp_assembly_matches_dense():
     rng = np.random.default_rng(11)
     spec = graph.GraphSpec(total_time_step=8, use_gp_inter=True, num_inter=3)
@@ -197,6 +199,7 @@ def test_gp_interp_assembly_matches_dense():
         )
 
 
+@pytest.mark.slow
 def test_gp_interp_plan_avoids_thin_obstacle():
     # A wall thinner than the state spacing: without interpolation the
     # support states can straddle it; interp checks push the path around.
@@ -237,6 +240,7 @@ def test_gp_interp_plan_avoids_thin_obstacle():
     assert clearance_with > 0.15  # path clears the robot radius everywhere
 
 
+@pytest.mark.slow
 def test_linear_error_matches_dense_b():
     rng = np.random.default_rng(13)
     spec = graph.GraphSpec(total_time_step=7, use_vel_limits=True)

@@ -44,6 +44,7 @@ def test_init_net_shapes_and_pinned_endpoints():
     assert bool(jnp.all(jnp.isfinite(delta)))
 
 
+@pytest.mark.slow
 def test_train_initializer_loss_decreases(tiny_dataset):
     root, spec = tiny_dataset
     dataset = ds.PlanningDataset(root, mode="train",

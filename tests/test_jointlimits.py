@@ -2,6 +2,8 @@
 parity, end-to-end clamp.  Companion of the velocity-limit factor; the
 original GPMP2 C++ has the analogous JointLimitFactor, the reference
 ships none."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +42,7 @@ def test_joint_limit_jacobian_matches_finite_differences():
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_assembly_matches_dense_oracle():
     rng = np.random.default_rng(1)
     d = ARM.state_dim
@@ -72,6 +75,7 @@ def test_assembly_matches_dense_oracle():
     assert graph.linear_error(spec, ARM, params, th, sdfb).shape[-1] == spec.M
 
 
+@pytest.mark.slow
 def test_stream_engine_matches_standard():
     rng = np.random.default_rng(2)
     d = ARM.state_dim
@@ -96,6 +100,7 @@ def test_stream_engine_matches_standard():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_plan_respects_joint_limits():
     """A commanded goal beyond q_max is clamped to (near) the limit; the
     factor-off plan reaches the out-of-range command."""

@@ -76,6 +76,7 @@ def _make_planner(model_type="feed_forward", mode="diag_identity"):
 
 
 @pytest.mark.parametrize("model_type", ["feed_forward", "rnn_lstm"])
+@pytest.mark.slow
 def test_learned_step_runs_and_grads_flow(model_type):
     planner = _make_planner(model_type)
     batch = _toy_batch()
@@ -125,6 +126,7 @@ def test_learned_plan_unrolls():
     assert np.all(np.isfinite(np.asarray(th)))
 
 
+@pytest.mark.slow
 def test_learned_plan_multistart_composes():
     """LearnedDiffGPMP2Planner.plan_multistart: result shapes are per
     problem, the selected candidate never scores worse than the K=1
@@ -166,6 +168,7 @@ def test_learned_plan_multistart_composes():
 
 
 @pytest.mark.parametrize("model_type", ["feed_forward", "rnn_lstm"])
+@pytest.mark.slow
 def test_learned_plan_multistart_staged(model_type):
     """Staged pruning on the learned planner: runs for both head types
     (the recurrent carry is gathered with the survivors), validates args,
@@ -232,6 +235,7 @@ def test_train_step_lm_windows():
                         TrainConfig(T=4, tk=2, optimize_tk=True))
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss():
     planner = _make_planner()
     batch = _toy_batch()
@@ -651,6 +655,7 @@ def test_normalize_im_option_scales_conv_input():
     np.testing.assert_allclose(im_stack.min(axis=(1, 2)), -1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_threads_dth_prev_under_dtheta_predict():
     """With dtheta_predict the head consumes the previous GN update; the
     chunked trainer must thread it across steps exactly as a manual unroll

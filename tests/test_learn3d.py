@@ -6,6 +6,8 @@ rank-3 twin of the reference CNN and feeds xyz head positions.  Pins:
 static_init parity (untrained forward == fixed-covariance planner),
 gradient flow into the 3-D conv weights, and finite plans.
 """
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -47,6 +49,7 @@ def _setup():
     return spec, robot, params, th0, sdfb, im
 
 
+@pytest.mark.slow
 def test_learned3d_static_init_matches_fixed_planner():
     spec, robot, params, th0, sdfb, im = _setup()
     cfg = gn.OptimConfig(reg=0.1, max_iters=8)
@@ -68,6 +71,7 @@ def test_learned3d_static_init_matches_fixed_planner():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_runs_in_3d():
     """The TBPTT training step is dimension-blind: batches carrying voxel
     im/sdf stacks train the ConvEncoder3D planner (finite metrics, weights
@@ -128,6 +132,7 @@ def test_train_step_runs_in_3d():
     assert moved > 0.0, "training must update the 3-D conv/head weights"
 
 
+@pytest.mark.slow
 def test_learned3d_gradients_reach_conv3d_weights():
     spec, robot, params, th0, sdfb, im = _setup()
     cfg = gn.OptimConfig(reg=0.1, max_iters=3)

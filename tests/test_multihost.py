@@ -27,6 +27,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_multihost_mesh_plan_parity():
     # Bounded by the 540 s communicate() timeout below, not a plugin mark.
     port = _free_port()

@@ -155,6 +155,7 @@ def _problem3d(b, t=10, size=16):
     return spec, robot, params, th0, sdfb
 
 
+@pytest.mark.slow
 def test_data_parallel_plan3d_matches_single_device():
     """The 3-D stack (trilinear lookups, voxel SDFs) under GSPMD: a batch
     sharded over the data axis must reproduce the unsharded plan —

@@ -7,6 +7,8 @@ No reference analog — the reference ships planar robots only
 extension end-to-end: convergence, obstacle clearance, endpoint
 anchoring, gradient flow, and multistart selection.
 """
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -62,6 +64,7 @@ def _min_clearance(th, sdf, res):
     return float(jnp.min(d))
 
 
+@pytest.mark.slow
 def test_plan3d_converges_and_clears_box():
     _, sdf = _box_world()
     spec, robot, params, th0, start, goal = _problem()
@@ -86,6 +89,7 @@ def test_plan3d_converges_and_clears_box():
                                np.asarray(goal[:, :3]), atol=0.05)
 
 
+@pytest.mark.slow
 def test_plan3d_z_escape_uses_third_dimension():
     """A thick wall spanning the full x extent, open only above z ≈ +2.3,
     forces the plan OVER it — impossible for any 2-D planner, so this pins
@@ -134,6 +138,7 @@ def test_plan3d_z_escape_uses_third_dimension():
     assert float(jnp.max(jnp.where(crossing, z, -jnp.inf))) > 2.0
 
 
+@pytest.mark.slow
 def test_plan3d_differentiable():
     """Gradients flow from a trajectory loss back to factor parameters
     (the differentiable-planning contract, in 3-D)."""
@@ -152,6 +157,7 @@ def test_plan3d_differentiable():
     assert float(jnp.max(jnp.abs(g))) > 0.0
 
 
+@pytest.mark.slow
 def test_plan3d_multistart_and_env3d():
     """Multistart runs in 3-D (ndim-generic SDF tiling, 3-D contact
     scoring) and Env3D's queries agree with the raw lookup."""

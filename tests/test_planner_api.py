@@ -244,6 +244,7 @@ def test_classic_planner_batched_matches_single():
             np.testing.assert_allclose(efb[i], ef1, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_classic_planner_multistart_api():
     """GPMP2Planner.plan_multistart: selection is never worse than the
     single-seed plan (restart 0 is in the pool) and returns per-problem

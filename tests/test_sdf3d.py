@@ -142,6 +142,7 @@ def test_trilinear_out_of_bounds():
     assert float(jnp.linalg.norm(g[4])) > 0.0
 
 
+@pytest.mark.slow
 def test_trilinear_reference_oob_mode_collapses_to_zero():
     """Under the 'reference' OOB mode (bit-faithful clamped-index weights,
     ops/sdf.py:_axis_weights) a fully out-of-grid query collapses to

@@ -4,6 +4,8 @@ and an end-to-end plan that untangles a self-colliding seed.
 The factor is beyond the reference (point robots only — SURVEY.md §2.4);
 the original GPMP2 C++ library carries the analogous sphere-pair factor.
 """
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +71,7 @@ def test_self_collision_jacobian_matches_finite_differences():
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_assembly_matches_dense_oracle():
     rng = np.random.default_rng(1)
     d = ARM3.state_dim
@@ -105,6 +108,7 @@ def test_assembly_matches_dense_oracle():
     assert graph.linear_error(spec, ARM3, params, th, sdfb).shape[-1] == spec.M
 
 
+@pytest.mark.slow
 def test_stream_engine_matches_standard():
     """engine='stream' assembles the self-collision Gauss terms natively;
     dtheta parity with the standard engine."""
@@ -132,6 +136,7 @@ def test_stream_engine_matches_standard():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_self_collision_factor_overrides_infeasible_command():
     """Safety-override semantics: commanded goal config is itself tangled
     (a joint-linear path between self-clear configs of an open planar
@@ -311,6 +316,7 @@ def test_shipped_arm_config_builds_full_factor_stack():
     assert bool(jnp.all(jnp.isfinite(th)))
 
 
+@pytest.mark.slow
 def test_track_best_excludes_self_colliding_iterates():
     """gn.plan(track_best=True)'s best-iterate criterion must treat
     self-penetration as a collision (consistent with multistart's

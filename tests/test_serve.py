@@ -132,6 +132,7 @@ def test_async_coalesces_concurrent_requests(planner, world):
     assert svc.stats["requests"] == 6
 
 
+@pytest.mark.slow
 def test_learned_adapter_serves_learned_planner(world):
     import jax
 
@@ -255,6 +256,7 @@ def test_sharded_service_matches_unsharded(planner, world):
         PlanningService(planner, batch_size=6, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_sharded_service_3d_matches_unsharded():
     """The mesh-sharded service over a VOXEL world: 3-D planning through
     the dispatch path must match the unsharded service bit-for-bit

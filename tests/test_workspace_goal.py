@@ -1,6 +1,8 @@
 """Workspace end-effector goal factor: task-space arm targets without
 explicit IK.  Jacobian, dense-oracle parity, stream parity, end-to-end
 reach."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,6 +39,7 @@ def test_workspace_goal_jacobian_is_tip_fk_jacobian():
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_assembly_matches_dense_oracle():
     rng = np.random.default_rng(1)
     d = ARM.state_dim
@@ -67,6 +70,7 @@ def test_assembly_matches_dense_oracle():
     assert graph.linear_error(spec, ARM, params, th, sdfb).shape[-1] == spec.M
 
 
+@pytest.mark.slow
 def test_stream_engine_matches_standard():
     rng = np.random.default_rng(2)
     d = ARM.state_dim
@@ -122,6 +126,7 @@ def test_arm_reaches_workspace_target_without_ik():
                                np.asarray(start[:, :2]), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_multistart_selection_is_goal_aware():
     """Under a workspace-goal spec, multistart scores tip-target
     attainment: a smooth unmoved candidate loses to one that reaches."""
