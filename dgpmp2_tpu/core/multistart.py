@@ -122,11 +122,21 @@ def plan_multistart(
     prune_iters: int = 0,
     keep: int = 0,
     select_margin: float = 0.0,
+    extra_seeds: Optional[jnp.ndarray] = None,
 ) -> MultistartResult:
     """Plan ``restarts`` perturbed seeds per problem as one batch, select
     the best per problem.  Fully jittable (fixed shapes, no Python loop);
     the planner itself runs with ``track_best=True`` so each restart also
     contributes its best iterate, not just its final one.
+
+    ``extra_seeds`` (E, B, T+1, 2·dof) appends E *informed* candidates per
+    problem to the pool — e.g. host-side RRT* seed trajectories
+    (``core.seeds.rrt_seed_batch``, the reference's RRT*→GPMP2 recipe,
+    ``examples/rrt_star_example.py``) — planned and selected exactly like
+    the perturbed ones (their candidate indices in ``k_best`` are
+    ``restarts .. restarts+E-1``).  The sine pool supplies local
+    diversity, the informed seeds supply basin membership on clutter the
+    straight-line basin cannot escape (forest: PERFORMANCE.md).
 
     Score per candidate: ``contact_weight · Σ interior contact depth +
     velocity-smoothness MSE`` — contact-free candidates dominate any
@@ -147,6 +157,11 @@ def plan_multistart(
     b = th_init.shape[0]
     th0s = perturbed_inits(th_init, rng, restarts, amp, spec.total_time_sec,
                            harmonics)
+    if extra_seeds is not None:
+        th0s = jnp.concatenate(
+            [th0s, extra_seeds.astype(th0s.dtype)], axis=0
+        )
+    restarts = th0s.shape[0]  # pool size: restarts (+ E informed)
     th0s = th0s.reshape(restarts * b, *th0s.shape[2:])
     sdf_t = jnp.tile(sdf, (restarts,) + (1,) * (sdf.ndim - 1))
     params_t = tile_params(params, b, restarts)

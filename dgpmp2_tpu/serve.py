@@ -143,12 +143,23 @@ class MultistartPlanningAdapter:
     reproducibility property), and err_init/err_final are the weighted
     factor-graph error of the seed and of the selected candidate under
     the same fixed covariances.
+
+    ``rrt_seeds > 0`` appends that many host-side RRT* seed trajectories
+    per problem to the pool (``core.seeds.rrt_seed_batch`` — the
+    reference's RRT*→GPMP2 production recipe, ``examples/
+    rrt_star_example.py``): the native planner runs on the host while the
+    TPU batch is unchanged in shape, and a failed RRT* degrades to the
+    straight-line base seed.  ``rrt_clearance`` defaults to the robot's
+    largest sphere radius; ``rrt_plan_time`` is the per-problem budget in
+    seconds (host wall-clock, sequential over the batch).
     """
 
     def __init__(self, spec, robot, cov_scalars: dict,
                  optim_cfg=None, restarts: int = 16, amp: float = 1.5,
                  prune_iters: int = 0, keep: int = 0, seed: int = 0,
-                 select_margin: float = 0.0, dtype=jnp.float32):
+                 select_margin: float = 0.0, rrt_seeds: int = 0,
+                 rrt_plan_time: float = 1.0,
+                 rrt_clearance: float = None, dtype=jnp.float32):
         from .core import gn, multistart
 
         self._gn = gn
@@ -164,6 +175,17 @@ class MultistartPlanningAdapter:
         # Selection margin (metres): align candidate selection with
         # margin-based quality metrics (core.multistart.score_candidates).
         self.select_margin = select_margin
+        if rrt_seeds > 0 and spec.z_lims is not None:
+            raise ValueError("rrt_seeds: the native RRT* expert is 2-D; "
+                             "3-D workspaces are not supported yet")
+        self.rrt_seeds = rrt_seeds
+        self.rrt_plan_time = rrt_plan_time
+        if rrt_clearance is None:
+            import numpy as _np
+            rrt_clearance = float(_np.max(_np.asarray(
+                robot.radii_array(jnp.float32))))
+        self.rrt_clearance = rrt_clearance
+        self.seed = seed
         self.rng = jax.random.PRNGKey(seed)
         self.dtype = dtype
 
@@ -176,11 +198,29 @@ class MultistartPlanningAdapter:
             self.spec, self.robot, start, goal, **self.cov,
             dtype=self.dtype,
         )
+        extra = None
+        if self.rrt_seeds > 0:
+            import numpy as np
+
+            from .core import seeds as seeds_lib
+
+            batch = []
+            for k in range(self.rrt_seeds):
+                s, _found = seeds_lib.rrt_seed_batch(
+                    np.asarray(sdf), np.asarray(start), np.asarray(goal),
+                    self.spec.x_lims, self.spec.y_lims,
+                    self.spec.total_time_sec, self.spec.num_traj_states,
+                    clearance=self.rrt_clearance,
+                    plan_time=self.rrt_plan_time,
+                    seed=self.seed + 7919 * k,
+                )
+                batch.append(s)
+            extra = jnp.asarray(np.stack(batch), self.dtype)
         res = self._ms.plan_multistart(
             self.spec, self.robot, params, th0, sdf, self.cfg, self.rng,
             restarts=self.restarts, amp=self.amp,
             prune_iters=self.prune_iters, keep=self.keep,
-            select_margin=self.select_margin,
+            select_margin=self.select_margin, extra_seeds=extra,
         )
         return _AdapterResult(
             th=res.th,

@@ -1,4 +1,6 @@
 """Batched multi-start planning (core/multistart.py)."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +69,7 @@ def test_perturbed_inits_base_and_endpoints():
     assert float(jnp.max(jnp.abs(seeds[1] - th0))) > 0.1
 
 
+@pytest.mark.slow
 def test_plan_multistart_k1_matches_plan():
     """restarts=1 is exactly gn.plan(track_best=True).best_th."""
     params, th0, sdf = _problem()
@@ -145,6 +148,7 @@ def test_score_candidates_gp_inter_catches_threading():
     assert float(contact_dense[0]) > 0.0
 
 
+@pytest.mark.slow
 def test_plan_multistart_staged_pruning():
     """Staged pruning (plan all K for a few iters, finish only the top
     `keep`): on the blocked world it preserves the multi-start win at a
@@ -250,6 +254,7 @@ def test_select_margin_prefers_margin_clear_candidate():
     assert bool(plain.contact_free[0]) and bool(margin.contact_free[0])
 
 
+@pytest.mark.slow
 def test_plan_multistart_reports_winner_iters():
     """MultistartResult.iters is the winning candidate's actual GN
     iteration count: bounded by max_iters (plus phase sum when staged),
@@ -274,3 +279,88 @@ def test_plan_multistart_reports_winner_iters():
                              prune_iters=5, keep=2)
     assert np.all(np.asarray(staged.iters) >= 1)
     assert np.all(np.asarray(staged.iters) <= 30)
+
+
+def test_extra_seeds_join_pool_and_can_win():
+    """extra_seeds candidates are planned and selected like perturbed
+    ones: an informed seed already sitting in a collision-free basin must
+    win (k_best == restarts) when the straight-line base stays in
+    contact."""
+    params, th0, sdf = _problem(b=2)
+    cfg = gn.OptimConfig(reg=0.1, max_iters=8)
+    base = plan_multistart(SPEC, ROBOT, params, th0, sdf, cfg,
+                           jax.random.PRNGKey(0), restarts=1, amp=0.0)
+    # Informed seed: a wide detour along the top edge (y ~ +4.5), far
+    # from the clutter block in the middle of the world.
+    t1 = SPEC.num_traj_states
+    s = np.linspace(0.0, 1.0, t1)[None, :, None]
+    start = np.asarray(th0[:, 0, :2])[:, None, :]
+    goal = np.asarray(th0[:, -1, :2])[:, None, :]
+    detour = start + s * (goal - start)
+    detour[..., 1] = detour[..., 1] + 3.0 * np.sin(np.pi * s[..., 0])
+    vel = np.gradient(detour, SPEC.total_time_sec / (t1 - 1), axis=1)
+    seed = jnp.asarray(np.concatenate([detour, vel], -1), th0.dtype)
+    out = plan_multistart(SPEC, ROBOT, params, th0, sdf, cfg,
+                          jax.random.PRNGKey(0), restarts=1, amp=0.0,
+                          extra_seeds=seed[None])
+    # Pool grew: k_best may now be 1 (the informed seed).
+    assert out.th.shape == base.th.shape
+    assert np.all(np.asarray(out.score) <= np.asarray(base.score) + 1e-9), \
+        "adding a candidate can never make selection worse"
+    for i in range(2):
+        if not bool(base.contact_free[i]) and bool(out.contact_free[i]):
+            assert int(out.k_best[i]) == 1  # the informed seed won
+
+
+def test_rrt_seed_batch_contract():
+    """Host-side RRT* seed batch: shapes, endpoint pinning, the
+    reference's avg-velocity recipe, and straight-line degradation on
+    failure (contract holds with or without the native library)."""
+    from dgpmp2_tpu.core import seeds as seeds_lib
+
+    _, th0, sdf = _problem(b=2)
+    b = 2
+    starts = np.asarray(th0[:, 0, :2])
+    goals = np.asarray(th0[:, -1, :2])
+    t1 = SPEC.num_traj_states
+    out, found = seeds_lib.rrt_seed_batch(
+        np.asarray(sdf), starts, goals, SPEC.x_lims, SPEC.y_lims,
+        SPEC.total_time_sec, t1, clearance=0.4, plan_time=0.3,
+        seed=0,
+    )
+    assert out.shape == (b, t1, 4) and out.dtype == np.float32
+    np.testing.assert_allclose(out[:, 0, :2], starts, atol=1e-5)
+    np.testing.assert_allclose(out[:, -1, :2], goals, atol=1e-5)
+    # Reference path_to_traj_avg_vel: constant average velocity rows.
+    avg = (goals - starts) / SPEC.total_time_sec
+    np.testing.assert_allclose(out[:, 0, 2:], avg, atol=1e-5)
+    np.testing.assert_allclose(out[:, -1, 2:], avg, atol=1e-5)
+    assert found.shape == (b,)
+
+
+@pytest.mark.skipif(
+    not __import__("dgpmp2_tpu.native", fromlist=["available"]).available(),
+    reason="native RRT* unavailable")
+def test_rrt_seed_clears_clutter_where_straight_line_collides():
+    """On the blocked world the straight-line seed passes through
+    clutter; the RRT* seed must be collision-clear along its whole
+    length (that is the basin-membership property multistart buys)."""
+    from dgpmp2_tpu.core import seeds as seeds_lib
+
+    _, th0, sdf = _problem(b=1)
+    starts = np.asarray(th0[:, 0, :2])
+    goals = np.asarray(th0[:, -1, :2])
+    t1 = SPEC.num_traj_states
+    clearance = 0.11
+    seeds, found = seeds_lib.rrt_seed_batch(
+        np.asarray(sdf), starts, goals, SPEC.x_lims, SPEC.y_lims,
+        SPEC.total_time_sec, t1, clearance=clearance, plan_time=2.0,
+        seed=3,
+    )
+    assert bool(found[0]), "RRT* should solve this world in 2s"
+    d, _ = sdf_ops.lookup_nd(sdf, jnp.asarray(seeds[:, :, :2]),
+                             SPEC.res(sdf.shape[-1]),
+                             SPEC.x_lims, SPEC.y_lims, None)
+    # Waypoints were validity-checked at `clearance`; the arc-length
+    # resample can cut corners only between adjacent waypoints.
+    assert float(jnp.min(d)) > 0.0

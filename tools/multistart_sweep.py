@@ -60,16 +60,50 @@ def load_batches(root, batch_size, limit=None):
     ]
 
 
+def rrt_seed_pool(batches, spec, n_seeds, plan_time, clearance, seed):
+    """Per-batch informed RRT* seed pools (E, B, T+1, 4), cached across
+    the sigma sweep — seeds depend only on the problems, not on the
+    covariances (core.seeds; the reference RRT*→GPMP2 recipe)."""
+    from dgpmp2_tpu.core import seeds as seeds_lib
+
+    pools, n_found = [], 0
+    for bi, b in enumerate(batches):
+        per = []
+        for k in range(n_seeds):
+            s, found = seeds_lib.rrt_seed_batch(
+                np.asarray(b["sdf"]), np.asarray(b["start"]),
+                np.asarray(b["goal"]), spec.x_lims, spec.y_lims,
+                spec.total_time_sec, spec.num_traj_states,
+                clearance=clearance, plan_time=plan_time,
+                seed=seed + 7919 * k + 104729 * bi,
+            )
+            per.append(s)
+            n_found += int(found.sum())
+        pools.append(jnp.asarray(np.stack(per), jnp.float32))
+    total = n_seeds * sum(b["start"].shape[0] for b in batches)
+    print(f"  rrt seeds: {n_found}/{total} found", flush=True)
+    return pools
+
+
 def eval_family(root, spec, robot, K, amp, batch_size, seed,
-                prune_iters=0, keep=0, sigmas=None):
+                prune_iters=0, keep=0, sigmas=None, rrt_seeds=0,
+                rrt_plan_time=1.0, rrt_clearance=0.2):
     batches = load_batches(root, batch_size)
     cfg = gn.OptimConfig(reg=0.1, max_iters=50)
     plan_jit = jax.jit(
+        lambda p, th0, s, rng, extra: plan_multistart(
+            spec, robot, p, th0, s, cfg, rng, restarts=K, amp=amp,
+            prune_iters=prune_iters, keep=keep, extra_seeds=extra,
+        ).th,
+        static_argnames=(),
+    ) if rrt_seeds else jax.jit(
         lambda p, th0, s, rng: plan_multistart(
             spec, robot, p, th0, s, cfg, rng, restarts=K, amp=amp,
             prune_iters=prune_iters, keep=keep,
         ).th
     )
+    pools = (rrt_seed_pool(batches, spec, rrt_seeds, rrt_plan_time,
+                           rrt_clearance, seed) if rrt_seeds else None)
     rows = {}
     for sigma in (SIGMAS if sigmas is None else sigmas):
         cov = dict(COV, cost_sigma=sigma)
@@ -83,8 +117,8 @@ def eval_family(root, spec, robot, K, amp, batch_size, seed,
                 start[:, :2], goal[:, :2], spec.total_time_sec,
                 spec.total_time_step,
             ).astype(jnp.float32)
-            th = plan_jit(params, th0, b["sdf"],
-                          jax.random.fold_in(rng, bi))
+            args = (params, th0, b["sdf"], jax.random.fold_in(rng, bi))
+            th = plan_jit(*args, pools[bi]) if rrt_seeds else plan_jit(*args)
             params_eval = graph.default_params(spec, robot, start, goal,
                                                **COV, dtype=jnp.float32)
             all_m.append(evaluate_batch(spec, robot, params_eval, th,
@@ -147,6 +181,13 @@ def main(argv=None):
                    help="staged pruning: phase-1 iterations")
     p.add_argument("--keep", type=int, default=0,
                    help="staged pruning: survivors per problem")
+    p.add_argument("--rrt_seeds", type=int, default=0,
+                   help="informed RRT* seeds appended per problem "
+                        "(host-side native planner; core/seeds.py)")
+    p.add_argument("--rrt_plan_time", type=float, default=1.0,
+                   help="per-problem RRT* budget, seconds")
+    p.add_argument("--rrt_clearance", type=float, default=0.2,
+                   help="RRT* validity clearance (m); robot radius + margin")
     p.add_argument("--cov_model", default=None,
                    help="<config>:<vars.npz> learned covariance model to "
                         "compose with multi-start seeds")
@@ -174,8 +215,19 @@ def main(argv=None):
             t0 = time.time()
             rows = eval_family(root, spec, robot, args.restarts, args.amp,
                                args.batch, args.seed,
-                               args.prune_iters, args.keep, args.sigmas)
-            merged = dict(results.get(fam, {}).get("by_sigma", {}))
+                               args.prune_iters, args.keep, args.sigmas,
+                               rrt_seeds=args.rrt_seeds,
+                               rrt_plan_time=args.rrt_plan_time,
+                               rrt_clearance=args.rrt_clearance)
+            # RRT*-seeded rows live under their own key so the informed
+            # and uninformed sweeps stay separately reported.
+            skey = (f"by_sigma_rrt{args.rrt_seeds}" if args.rrt_seeds
+                    else "by_sigma")
+            bs_key = "best_solve" + (f"_rrt{args.rrt_seeds}"
+                                     if args.rrt_seeds else "")
+            bc_key = "best_contact_free" + (f"_rrt{args.rrt_seeds}"
+                                            if args.rrt_seeds else "")
+            merged = dict(results.get(fam, {}).get(skey, {}))
             merged.update(rows)
             best_solve = max(merged.values(),
                              key=lambda m: (m["solve_rate"],
@@ -183,8 +235,7 @@ def main(argv=None):
             best_cf = max(merged.values(),
                           key=lambda m: m["contact_free_rate"])
             results.setdefault(fam, {}).update(
-                by_sigma=merged, best_solve=best_solve,
-                best_contact_free=best_cf)
+                {skey: merged, bs_key: best_solve, bc_key: best_cf})
             print(f"[{fam}] best solve_rate={best_solve['solve_rate']:.3f} "
                   f"(sigma {best_solve['sigma']}), best contact_free="
                   f"{best_cf['contact_free_rate']:.3f} (sigma "
