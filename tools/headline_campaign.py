@@ -174,6 +174,19 @@ def assemble_table(args, s):
                else f"**{name}** (one model)")
         L.append(f"| {tag} | "
                  + " | ".join(f"{r[k]:.4f}" for k in keys) + " |")
+    # Val-gated selection (VERDICT r3 item 6): the emitted model is the
+    # learned checkpoint only when it beat the static baseline on the
+    # shared val split; otherwise the static config IS the selected model.
+    gate = pooled.get(HEADLINE_CONFIG, {}).get("val_gate")
+    if gate:
+        sel_name = HEADLINE_CONFIG if gate["selected"] == "learned" \
+            else "static_best"
+        r = pooled[sel_name]
+        L.append(
+            f"| **selected** (val gate: learned "
+            f"{gate['learned_val_solve']:.3f} vs static "
+            f"{gate['static_val_solve']:.3f} -> {gate['selected']}) | "
+            + " | ".join(f"{r[k]:.4f}" for k in keys) + " |")
     L.append("")
 
     L.append("## Straight seed, per family (static = each family's own "
@@ -189,6 +202,13 @@ def assemble_table(args, s):
             cells = [f"{by_family[f][cfg][metric]:.4f}"
                      if cfg in by_family.get(f, {}) else "—" for f in fams]
             L.append(f"| {cfg} | " + " | ".join(cells) + " |")
+        if gate:
+            sel = (HEADLINE_CONFIG if gate["selected"] == "learned"
+                   else "static_best")
+            cells = [f"{by_family[f][sel][metric]:.4f}"
+                     if sel in by_family.get(f, {}) else "—" for f in fams]
+            L.append(f"| **selected** ({gate['selected']}) | "
+                     + " | ".join(cells) + " |")
         L.append("")
 
     L.append("## Multi-start composition (identical K both arms; static = "

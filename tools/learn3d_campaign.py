@@ -194,6 +194,23 @@ def main(argv=None):
         return (float(np.concatenate(sol).mean()),
                 float(np.concatenate(cf).mean()))
 
+    # -- static val baseline (the val gate's opponent) -----------------------
+    # The gate (VERDICT r3 item 6): the learned checkpoint is selected only
+    # when its val solve rate beats the static baseline on the SAME val
+    # split; otherwise the emitted model is the static config — "learned
+    # never regresses" becomes a selection property, not a per-family
+    # gamble.  Matches the reference's best-static-baseline comparison
+    # semantics (test_dataset_sensitivity.py:270), applied at selection
+    # time instead of reporting time.
+    sv_sol, sv_cf = [], []
+    for b in val_b:
+        s, c, _ = eval_rates(spec, robot,
+                             plan_static(spec, robot, b, best_sigma), b, res)
+        sv_sol.append(s), sv_cf.append(c)
+    static_val_solve = float(np.concatenate(sv_sol).mean())
+    print(f"[gate] static (sigma {best_sigma}) val solve_rate="
+          f"{static_val_solve:.3f}", flush=True)
+
     best = (-1.0, None, -1)
     history = []
     rng = np.random.default_rng(args.seed)
@@ -217,16 +234,26 @@ def main(argv=None):
     # -- final eval ------------------------------------------------------------
     var_best = jax.tree.map(jnp.asarray, best[1])
     t_solve, t_cf = learned_rates(var_best, test_b)
+    use_learned = best[0] > static_val_solve
+    bs = static_rows[best_sigma]
+    sel_solve, sel_cf = ((t_solve, t_cf) if use_learned
+                         else (bs["solve_rate"], bs["contact_free_rate"]))
+    print(f"[gate] learned val {best[0]:.3f} vs static val "
+          f"{static_val_solve:.3f} -> selected="
+          f"{'learned' if use_learned else 'static'}", flush=True)
     results = {
         "static": {str(k): v for k, v in static_rows.items()},
         "best_sigma": float(best_sigma),
         "learned": {"solve_rate": t_solve, "contact_free_rate": t_cf,
                     "val_epoch": int(best[2]), "loss": args.loss},
+        "gate": {"learned_val_solve": float(best[0]),
+                 "static_val_solve": static_val_solve,
+                 "selected": "learned" if use_learned else "static"},
+        "selected": {"solve_rate": sel_solve, "contact_free_rate": sel_cf},
         "history": history,
     }
     with open(os.path.join(args.out, "results.yaml"), "w") as fp:
         yaml.safe_dump(results, fp)
-    bs = static_rows[best_sigma]
     table = "\n".join([
         f"# 3-D learned covariances — {args.family}, {SIZE}³, "
         f"{args.num_train}+{args.num_test} envs x {args.probs}, "
@@ -241,8 +268,12 @@ def main(argv=None):
         "|---|---|---|",
         f"| static_best (sigma {best_sigma}) | {bs['solve_rate']:.4f} | "
         f"{bs['contact_free_rate']:.4f} |",
-        f"| **eps_bounded-3d** ({args.loss} loss, one model) | "
-        f"**{t_solve:.4f}** | {t_cf:.4f} |",
+        f"| eps_bounded-3d ({args.loss} loss, one model) | "
+        f"{t_solve:.4f} | {t_cf:.4f} |",
+        f"| **selected** (val gate: learned {best[0]:.3f} vs static "
+        f"{static_val_solve:.3f} -> "
+        f"{'learned' if use_learned else 'static'}) | **{sel_solve:.4f}** | "
+        f"**{sel_cf:.4f}** |",
         "",
     ])
     with open(os.path.join(args.out, "table.md"), "w") as fp:

@@ -295,6 +295,16 @@ def train_config(name, w_over, lcfg_over, roots, args, out_dir):
                                      drop_remainder=True))
     rng_np = np.random.default_rng(1)
 
+    # Static val baseline for the selection gate (VERDICT r3 item 6): the
+    # best-of-9-sigmas static planner evaluated on the SAME val split the
+    # learned checkpoint is selected on.  Cached once per out_dir — the
+    # val split is deterministic (rng 123) so every config shares it.
+    sv = static_sweep(spec, robot, val_batches,
+                      os.path.join(out_dir, "static_val.yaml"))
+    sv_sigma = max(sv, key=lambda s: (sv[s]["solve_rate"],
+                                      sv[s]["contact_free_rate"]))
+    static_val = sv[sv_sigma]["solve_rate"]
+
     tx = make_optimizer("adam", {"alpha": alpha})
     weights = LossWeights(**w_over)
     tcfg = TrainConfig(T=args.unroll, tk=args.tk, use_inter_loss=True)
@@ -309,12 +319,17 @@ def train_config(name, w_over, lcfg_over, roots, args, out_dir):
         rng, planner.stack_inputs(sample["im"], sample["sdf"]),
         sample["th_opt"],
     )
+    gate_file = os.path.join(out_dir, f"{name}_gate.yaml")
     if os.path.exists(ckpt):
         state = state.replace(
             variables=checkpoints.load_flat_variables(ckpt, state.variables)
         )
+        gate = None
+        if os.path.exists(gate_file):
+            with open(gate_file) as fp:
+                gate = yaml.safe_load(fp)
         print(f"[train:{name}] loaded checkpoint, skipping training")
-        return planner, state
+        return planner, state, gate
 
     print(f"[train:{name}] {len(idxs)} problems, batch {args.batch}, "
           f"{args.epochs} epochs")
@@ -347,11 +362,23 @@ def train_config(name, w_over, lcfg_over, roots, args, out_dir):
             print(f"[train:{name}] epoch {epoch}: loss={hist[-1]:.4f} "
                   f"({time.time() - t0:.1f}s)")
     state = state.replace(variables=best_vars)
-    print(f"[train:{name}] selected val solve_rate={best_rate:.3f}")
+    # Val gate: the learned checkpoint is "selected" only when it beats
+    # the static val baseline on the same split; otherwise the campaign
+    # emits the static config as the selected model (the learned row is
+    # still reported for honesty).
+    gate = {"learned_val_solve": float(best_rate),
+            "static_val_solve": float(static_val),
+            "static_val_sigma": float(sv_sigma),
+            "selected": "learned" if best_rate > static_val else "static"}
+    print(f"[train:{name}] selected val solve_rate={best_rate:.3f}; gate "
+          f"vs static val {static_val:.3f} (sigma {sv_sigma}) -> "
+          f"{gate['selected']}")
     checkpoints.save_flat_variables(ckpt, state.variables)
+    with open(gate_file, "w") as fp:
+        yaml.safe_dump(gate, fp)
     with open(os.path.join(out_dir, f"{name}_train_loss.yaml"), "w") as fp:
         yaml.safe_dump(hist, fp)
-    return planner, state
+    return planner, state, gate
 
 
 def eval_learned(planner, state, spec, robot, test_batches):
@@ -446,9 +473,11 @@ def main(argv=None):
                 {k: v for k, v in rows.items() if k not in by_family[fam]})
     for name in args.configs:
         w_over, lcfg_over = CONFIGS[name]
-        planner, state = train_config(name, w_over, lcfg_over, roots, args,
-                                      args.out)
+        planner, state, gate = train_config(name, w_over, lcfg_over, roots,
+                                            args, args.out)
         summary = eval_learned(planner, state, spec, robot, test_batches)
+        if gate is not None:
+            summary["val_gate"] = gate
         results[name] = summary
         print(f"[eval:{name}] {json.dumps(summary)}")
         with open(os.path.join(args.out, "results.yaml"), "w") as fp:
