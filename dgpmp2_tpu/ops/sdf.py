@@ -648,12 +648,78 @@ def bilinear_lookup_jit(sdf, points, res, x_lims, y_lims):
     return bilinear_lookup(sdf, points, res, x_lims, y_lims)
 
 
+# 3-D lookup engine selection (mirrors the 2-D _LOOKUP_METHOD switch):
+# trajectory-locality tiled Pallas kernel on TPU, XLA 8-tap gather elsewhere.
+_LOOKUP3D_METHOD = "auto"
+
+
+def _pallas3d_ok(sdf, points) -> bool:
+    """Tiled-kernel applicability: a (B, D, H, W) f32 batch whose volume
+    fits the per-problem VMEM block (≤2 MiB — 64³ and every shipped voxel
+    family qualify) with an 8-row-collapsible H (the brick reshape and the
+    aligned sublane slice need it)."""
+    return (
+        sdf.ndim == 4
+        and points.ndim == 3
+        and sdf.dtype == jnp.float32
+        and sdf.shape[-2] % 8 == 0
+        and sdf.shape[-3] >= 16
+        and sdf.shape[-2] >= 16
+        and sdf.shape[-1] * sdf.shape[-2] * sdf.shape[-3] * 4
+        <= 2 * 1024 * 1024
+    )
+
+
+def _pallas_tile_lookup3d(sdf, points, res, x_lims, y_lims, z_lims):
+    from dgpmp2_tpu.ops.pallas.sdf_lookup3d import trilinear_lookup_pallas
+
+    if _OOB_MODE != "intended":
+        raise NotImplementedError(
+            "pallas_tile implements the intended OOB semantics only; use "
+            "the gather engine for reference-parity experiments"
+        )
+
+    return trilinear_lookup_pallas(
+        sdf, points, res, tuple(x_lims), tuple(y_lims), tuple(z_lims)
+    )
+
+
+_LOOKUP3D_FNS = {
+    "gather": lambda *a: trilinear_lookup(*a),
+    "pallas_tile": _pallas_tile_lookup3d,
+}
+
+
+def set_lookup3d_method(method: str) -> None:
+    """Override the trilinear lookup engine: 'auto' | 'gather' |
+    'pallas_tile'.  Same trace-time-capture caveat as
+    :func:`set_lookup_method` — switching clears every jit cache."""
+    global _LOOKUP3D_METHOD
+    if method != "auto" and method not in _LOOKUP3D_FNS:
+        raise ValueError(method)
+    if method != _LOOKUP3D_METHOD:
+        _LOOKUP3D_METHOD = method
+        jax.clear_caches()
+
+
 def lookup_nd(sdf, points, res, x_lims, y_lims, z_lims=None):
     """Workspace-dimension dispatcher: 2-D backend-selected bilinear lookup
-    when ``z_lims`` is None, 3-D trilinear lookup otherwise."""
+    when ``z_lims`` is None, backend-selected 3-D trilinear otherwise."""
     if z_lims is None:
         return lookup(sdf, points, res, x_lims, y_lims)
-    return trilinear_lookup(sdf, points, res, x_lims, y_lims, z_lims)
+    method = _LOOKUP3D_METHOD
+    if method == "auto":
+        # Measured on a v5e (B=1024, 64³, T=100, loop-in-jit, f32-exact
+        # MXU precision): XLA 8-tap gather 8.9 ns/sample vs the
+        # trajectory-locality tiled Pallas kernel 122 ns/sample (p_t=16) —
+        # at production batch the scattered-load rate is already at the
+        # fused-2-D-kernel rate and the brick kernel's small
+        # HIGHEST-precision dots are latency-bound.  The gather is the
+        # default everywhere; the tiled kernel stays opt-in
+        # (set_lookup3d_method("pallas_tile")) as the measured-negative
+        # record for the locality roadmap item (PERFORMANCE.md).
+        method = "gather"
+    return _LOOKUP3D_FNS[method](sdf, points, res, x_lims, y_lims, z_lims)
 
 
 # ---------------------------------------------------------------------------

@@ -74,6 +74,48 @@ SCALES = {
 MS_CONTROL_SIGMAS = [0.01, 0.02, 0.05]
 
 
+def run_arm_only(args):
+    """Arm-transfer stage alone at the chosen scale (VERDICT r3 item 5:
+    make the round-2 XL arm win reproducible end-to-end).  Writes
+    ``<out>/headline_arm.md``; ``--check`` diffs against a committed copy.
+    """
+    import arm_campaign
+
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    arm_scale = {"smoke": (32, 16, 2), "midi": (1024, 256, 20),
+                 "xl": (2048, 512, 40)}[args.scale]
+    arm_campaign.main([
+        "--out", os.path.join(out, "arm"),
+        "--num_train", str(arm_scale[0]),
+        "--num_test", str(arm_scale[1]),
+        "--epochs", str(arm_scale[2]),
+        "--configs", "eps_bounded_lr1",
+    ])
+    with open(os.path.join(out, "arm", "results.yaml")) as fp:
+        arm = yaml.safe_load(fp)
+    L = [f"# Arm-transfer stage — scale `{args.scale}` "
+         f"({arm_scale[0]}+{arm_scale[1]} problems, {arm_scale[2]} epochs)",
+         "",
+         f"Regenerate with: `python tools/headline_campaign.py --out {out} "
+         f"--scale {args.scale} --arm-only`", ""]
+    keys_a = ["solve_rate", "contact_free_rate", "avg_gp_error",
+              "avg_max_penetration"]
+    L.append("| config | " + " | ".join(keys_a) + " |")
+    L.append("|---|" + "---|" * len(keys_a))
+    for name, r in arm.items():
+        L.append(f"| {name} | "
+                 + " | ".join(f"{r.get(k, float('nan')):.4f}"
+                              for k in keys_a) + " |")
+    L.append("")
+    table = "\n".join(L)
+    path = os.path.join(out, "headline_arm.md")
+    with open(path, "w") as fp:
+        fp.write(table + "\n")
+    print(table)
+    return path
+
+
 def run(args):
     import learned_campaign
     import multistart_sweep
@@ -260,12 +302,15 @@ def main(argv=None):
     p.add_argument("--scale", choices=list(SCALES), default="midi")
     p.add_argument("--arm", action="store_true",
                    help="also run the arm-transfer stage")
+    p.add_argument("--arm-only", action="store_true", dest="arm_only",
+                   help="run ONLY the arm-transfer stage at the chosen "
+                        "scale (reproduces the XL arm result end-to-end)")
     p.add_argument("--check", default=None, metavar="COMMITTED_MD",
                    help="after the run, diff the regenerated table against "
                         "this committed table and exit non-zero on drift")
     args = p.parse_args(argv)
 
-    path = run(args)
+    path = run_arm_only(args) if args.arm_only else run(args)
 
     if args.check:
         import difflib
