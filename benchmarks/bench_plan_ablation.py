@@ -83,6 +83,85 @@ def timeit(fn, *args):
     return best / ITERS * 1e3
 
 
+def main3d(argv):
+    """3-D decomposition (VERDICT r4 item 1): which stage owns the 3-D
+    iteration cost — the trilinear lookup (the round-3 "lookup-bound"
+    diagnosis) or the state_dim=6 residual/assembly/solve work?  Same
+    loop-in-jit methodology; problem = bench_throughput.build3d
+    (64³ voxels, PointRobot3D, T=100)."""
+    from bench_throughput import build3d
+    from dgpmp2_tpu.core import gn, graph
+    from dgpmp2_tpu.ops import sdf as sdf_ops
+
+    b = B
+    for a in argv:
+        if a.startswith("--b"):
+            b = int(a.split("=")[1])
+    stages = [a for a in argv if not a.startswith("--")] or [
+        "lookup", "resid", "solve", "full"]
+
+    spec, robot, params, th0, sdf = build3d(b)
+    res = 10.0 / 64
+
+    if "lookup" in stages:
+        @jax.jit
+        def loop_lookup(th, s):
+            def body(i, carry):
+                th_i = th + carry * 1e-9
+                d, g = sdf_ops.lookup_nd(
+                    s, th_i[..., :3], res, spec.x_lims, spec.y_lims,
+                    spec.z_lims,
+                )
+                return jnp.sum(d) + jnp.sum(g)
+
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+        print(f"lookup: {timeit(loop_lookup, th0, sdf):.3f} ms/iter")
+
+    if "resid" in stages:
+        @jax.jit
+        def loop_resid(th, s):
+            def body(i, carry):
+                th_i = th + carry * 1e-9
+                r = graph.eval_residuals(spec, robot, params, th_i, s)
+                return (jnp.sum(r.r_gp) + jnp.sum(r.r_obs)
+                        + jnp.sum(r.h_obs) + jnp.sum(r.r_s))
+
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+        print(f"resid: {timeit(loop_resid, th0, sdf):.3f} ms/iter")
+
+    if "solve" in stages:
+        from dgpmp2_tpu.core import stream as stream_lib
+
+        static = graph.assemble_static(spec, params, jnp.float32)
+        ss = stream_lib.build_stream_static(
+            spec, params, static, b, jnp.float32, reg=0.1
+        )
+
+        @jax.jit
+        def loop_solve(th, s):
+            def body(i, carry):
+                th_i = th + carry * 1e-9
+                r = graph.eval_residuals(spec, robot, params, th_i, s)
+                dth = stream_lib.stream_step(spec, params, ss, r, 0.1)
+                return jnp.sum(dth)
+
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+        print(f"solve: {timeit(loop_solve, th0, sdf):.3f} ms/iter")
+
+    if "full" in stages:
+        cfg = gn.OptimConfig(reg=0.1, max_iters=ITERS, tol_delta=0.0,
+                             engine="stream")
+
+        @jax.jit
+        def run_full(p, th, s):
+            return gn.plan(spec, robot, p, th, s, cfg, unroll=2).th
+
+        print(f"full: {timeit(run_full, params, th0, sdf):.3f} ms/iter")
+
+
 def main(argv):
     from dgpmp2_tpu.core import gn, graph
     from dgpmp2_tpu.core import stream as stream_lib
@@ -185,4 +264,10 @@ def main(argv):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    argv = sys.argv[1:]
+    if "--plan3d" in argv:
+        argv.remove("--plan3d")
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        main3d(argv)
+    else:
+        main(argv)

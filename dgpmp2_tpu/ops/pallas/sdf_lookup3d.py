@@ -173,6 +173,14 @@ def _axis_prep(pw, n, valid, b, n_tiles, p_t, brick_n, align=1):
 def _lookup3d_impl(sdf, points, res, x_lims, y_lims, z_lims,
                    p_t: int = 8, bz: int = 16, by: int = 16,
                    interpret: bool = False):
+    # Same refusal as sdf.trilinear_lookup: the y->row flip below assumes
+    # a centered world; an asymmetric y extent would silently read wrong
+    # rows, so both engines must fail identically on it.
+    if abs(y_lims[0] + y_lims[1]) > 1e-9:
+        raise NotImplementedError(
+            f"asymmetric y_lims {tuple(y_lims)} are not supported by the "
+            "reference y->row transform; recenter the world"
+        )
     b, d_, h, w = sdf.shape
     p = points.shape[-2]
     bz = min(bz, d_)

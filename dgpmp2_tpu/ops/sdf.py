@@ -678,10 +678,31 @@ def _pallas_tile_lookup3d(sdf, points, res, x_lims, y_lims, z_lims):
             "pallas_tile implements the intended OOB semantics only; use "
             "the gather engine for reference-parity experiments"
         )
+    res = float(res)
+    x_lims = (float(x_lims[0]), float(x_lims[1]))
+    y_lims = (float(y_lims[0]), float(y_lims[1]))
+    z_lims = (float(z_lims[0]), float(z_lims[1]))
+    # Same guard as trilinear_lookup: the y->row flip assumes a centered
+    # world, so both engines must refuse asymmetric y_lims identically
+    # (otherwise only the gather engine fails and pallas_tile silently
+    # reads wrong rows).
+    if abs(y_lims[0] + y_lims[1]) > 1e-9:
+        raise NotImplementedError(
+            f"asymmetric y_lims {tuple(y_lims)} are not supported by the "
+            "reference y->row transform; recenter the world"
+        )
+    # Explicit opt-in gets a loud applicability error instead of an opaque
+    # Mosaic lowering failure (H not 8-divisible, volume > the 2 MiB VMEM
+    # block) or a silent f32 downcast of an f64 field.
+    if not _pallas3d_ok(sdf, points):
+        raise ValueError(
+            "pallas_tile needs a (B, D, H, W) float32 sdf with H % 8 == 0, "
+            f"D,H >= 16 and volume <= 2 MiB; got sdf {sdf.shape} "
+            f"{sdf.dtype}, points ndim {points.ndim} — use the gather "
+            "engine for this input"
+        )
 
-    return trilinear_lookup_pallas(
-        sdf, points, res, tuple(x_lims), tuple(y_lims), tuple(z_lims)
-    )
+    return trilinear_lookup_pallas(sdf, points, res, x_lims, y_lims, z_lims)
 
 
 _LOOKUP3D_FNS = {

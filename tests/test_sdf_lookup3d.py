@@ -162,3 +162,32 @@ def test_pallas_tile_refuses_reference_oob_mode():
             )
     finally:
         sdf_ops.set_oob_mode("intended")
+
+
+def test_pallas_tile_guards_inapplicable_inputs():
+    """Explicit pallas_tile opt-in on inputs the kernel cannot lower must
+    fail with a clear ValueError — not an opaque Mosaic error (H not
+    8-divisible, oversized volume) or a silent f32 downcast (f64 field)."""
+    pts = jnp.zeros((1, 8, 3), jnp.float32)
+    with pytest.raises(ValueError, match="gather engine"):
+        sdf_ops._pallas_tile_lookup3d(
+            jnp.zeros((1, 32, 32, 32), jnp.float64), pts, 0.3125,
+            LIMS, LIMS, LIMS)
+    with pytest.raises(ValueError, match="gather engine"):
+        sdf_ops._pallas_tile_lookup3d(
+            jnp.zeros((1, 32, 20, 32), jnp.float32), pts, 0.3125,
+            LIMS, LIMS, LIMS)
+
+
+def test_pallas_tile_refuses_asymmetric_y_lims():
+    """Both engines must refuse a non-centered y extent identically: the
+    y->row flip assumes symmetry, and a pallas_tile that silently accepted
+    it would read wrong rows where the gather engine raises."""
+    sdf = jnp.zeros((1, 16, 16, 16), jnp.float32)
+    pts = jnp.zeros((1, 8, 3), jnp.float32)
+    with pytest.raises(NotImplementedError, match="asymmetric"):
+        sdf_ops._pallas_tile_lookup3d(sdf, pts, 0.625, LIMS, (-4.0, 5.0),
+                                      LIMS)
+    with pytest.raises(NotImplementedError, match="asymmetric"):
+        trilinear_lookup_pallas(sdf, pts, 0.625, LIMS, (-4.0, 5.0), LIMS,
+                                interpret=True)

@@ -219,16 +219,39 @@ def assemble_table(args, s):
     # Val-gated selection (VERDICT r3 item 6): the emitted model is the
     # learned checkpoint only when it beat the static baseline on the
     # shared val split; otherwise the static config IS the selected model.
+    # When static wins, the selected row reports the VAL-chosen sigma's
+    # test metrics — quoting the test-oracle static_best there would leak
+    # the test split through the gate (advisor r4, medium).
     gate = pooled.get(HEADLINE_CONFIG, {}).get("val_gate")
+
+    def _sigma_row(sweep_yaml, sigma):
+        """Row of a static-sensitivity sweep file at (float-keyed) sigma."""
+        if not os.path.exists(sweep_yaml) or sigma is None:
+            return None
+        with open(sweep_yaml) as fp:
+            sweep = yaml.safe_load(fp)
+        for k, v in sweep.items():
+            if abs(float(k) - float(sigma)) < 1e-12:
+                return v
+        return None
+
+    def _selected_row(gate, learned_row, sweep_yaml):
+        if gate["selected"] == "learned":
+            return learned_row
+        return (_sigma_row(sweep_yaml, gate.get("static_val_sigma"))
+                or None)
+
     if gate:
-        sel_name = HEADLINE_CONFIG if gate["selected"] == "learned" \
-            else "static_best"
-        r = pooled[sel_name]
-        L.append(
-            f"| **selected** (val gate: learned "
-            f"{gate['learned_val_solve']:.3f} vs static "
-            f"{gate['static_val_solve']:.3f} -> {gate['selected']}) | "
-            + " | ".join(f"{r[k]:.4f}" for k in keys) + " |")
+        r = _selected_row(gate, pooled[HEADLINE_CONFIG],
+                          os.path.join(out, "static_sensitivity.yaml"))
+        sel_tag = (gate["selected"] if gate["selected"] == "learned" else
+                   f"static @ val sigma {gate.get('static_val_sigma')}")
+        if r is not None:
+            L.append(
+                f"| **selected** (val gate: learned "
+                f"{gate['learned_val_solve']:.3f} vs static "
+                f"{gate['static_val_solve']:.3f} -> {sel_tag}) | "
+                + " | ".join(f"{r[k]:.4f}" for k in keys) + " |")
     L.append("")
 
     L.append("## Straight seed, per family (static = each family's own "
@@ -245,11 +268,22 @@ def assemble_table(args, s):
                      if cfg in by_family.get(f, {}) else "—" for f in fams]
             L.append(f"| {cfg} | " + " | ".join(cells) + " |")
         if gate:
-            sel = (HEADLINE_CONFIG if gate["selected"] == "learned"
-                   else "static_best")
-            cells = [f"{by_family[f][sel][metric]:.4f}"
-                     if sel in by_family.get(f, {}) else "—" for f in fams]
-            L.append(f"| **selected** ({gate['selected']}) | "
+            if gate["selected"] == "learned":
+                cells = [f"{by_family[f][HEADLINE_CONFIG][metric]:.4f}"
+                         if HEADLINE_CONFIG in by_family.get(f, {}) else "—"
+                         for f in fams]
+                sel_tag = "learned"
+            else:
+                # Per-family metrics of the ONE val-chosen sigma (the
+                # campaign ships one config, not a per-family oracle).
+                cells = []
+                for f in fams:
+                    row = _sigma_row(
+                        os.path.join(out, f"static_sensitivity_{f}.yaml"),
+                        gate.get("static_val_sigma"))
+                    cells.append(f"{row[metric]:.4f}" if row else "—")
+                sel_tag = f"static @ val sigma {gate.get('static_val_sigma')}"
+            L.append(f"| **selected** ({sel_tag}) | "
                      + " | ".join(cells) + " |")
         L.append("")
 

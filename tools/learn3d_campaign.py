@@ -140,19 +140,35 @@ def main(argv=None):
     spec = graph.GraphSpec(dof=3, state_dim=6, total_time_step=T,
                            x_lims=LIMS, y_lims=LIMS, z_lims=LIMS)
 
-    # -- static sweep on test ------------------------------------------------
-    static_rows = {}
-    for sigma in SIGMAS:
-        sol, cf = [], []
-        for b in test_b:
-            s, c, _ = eval_rates(spec, robot,
-                                 plan_static(spec, robot, b, sigma), b, res)
-            sol.append(s), cf.append(c)
-        static_rows[sigma] = {
-            "solve_rate": float(np.concatenate(sol).mean()),
-            "contact_free_rate": float(np.concatenate(cf).mean())}
-        print(f"[static] sigma={sigma}: {static_rows[sigma]}", flush=True)
+    # -- static sweeps -------------------------------------------------------
+    # Test-split sweep: the best-of-sweep ORACLE opponent row (the
+    # reference's test_dataset_sensitivity.py semantics — an upper bound
+    # the learned model is reported against, never selected from).
+    def sweep(batches, tag):
+        rows = {}
+        for sigma in SIGMAS:
+            sol, cf = [], []
+            for b in batches:
+                s, c, _ = eval_rates(
+                    spec, robot, plan_static(spec, robot, b, sigma), b, res)
+                sol.append(s), cf.append(c)
+            rows[sigma] = {
+                "solve_rate": float(np.concatenate(sol).mean()),
+                "contact_free_rate": float(np.concatenate(cf).mean())}
+            print(f"[static:{tag}] sigma={sigma}: {rows[sigma]}", flush=True)
+        return rows
+
+    static_rows = sweep(test_b, "test")
     best_sigma = max(static_rows, key=lambda s: static_rows[s]["solve_rate"])
+    # Val-split sweep: everything that feeds SELECTION (the training init
+    # and the gate's static opponent) is chosen on val only — a test-tuned
+    # static sigma in the gate would leak the test split into the very
+    # mechanism meant to make selection honest.
+    static_val_rows = sweep(val_b, "val")
+    sv_sigma = max(static_val_rows,
+                   key=lambda s: (static_val_rows[s]["solve_rate"],
+                                  static_val_rows[s]["contact_free_rate"]))
+    static_val_solve = static_val_rows[sv_sigma]["solve_rate"]
 
     # -- train ---------------------------------------------------------------
     # Both arms run LM: fixed-damping GN collapses on dense worlds
@@ -162,7 +178,7 @@ def main(argv=None):
     # alpha 1e-4 follow the 2-D campaign lessons (eps_bounded_lr1).
     lcfg = LearnedPlannerConfig(
         dynamics_mode="diag_identity", learn_eps=True, eps_max=2 * EPS,
-        dropout_prob=0.1, static_init=(1.0, best_sigma, EPS))
+        dropout_prob=0.1, static_init=(1.0, sv_sigma, EPS))
     planner = LearnedDiffGPMP2Planner(
         spec, robot, gn.OptimConfig(reg=0.1, max_iters=50, method="lm"),
         lcfg)
@@ -194,21 +210,16 @@ def main(argv=None):
         return (float(np.concatenate(sol).mean()),
                 float(np.concatenate(cf).mean()))
 
-    # -- static val baseline (the val gate's opponent) -----------------------
     # The gate (VERDICT r3 item 6): the learned checkpoint is selected only
     # when its val solve rate beats the static baseline on the SAME val
     # split; otherwise the emitted model is the static config — "learned
     # never regresses" becomes a selection property, not a per-family
     # gamble.  Matches the reference's best-static-baseline comparison
     # semantics (test_dataset_sensitivity.py:270), applied at selection
-    # time instead of reporting time.
-    sv_sol, sv_cf = [], []
-    for b in val_b:
-        s, c, _ = eval_rates(spec, robot,
-                             plan_static(spec, robot, b, best_sigma), b, res)
-        sv_sol.append(s), sv_cf.append(c)
-    static_val_solve = float(np.concatenate(sv_sol).mean())
-    print(f"[gate] static (sigma {best_sigma}) val solve_rate="
+    # time instead of reporting time.  The static opponent's sigma is
+    # val-chosen (sv_sigma, sweep above) so the gate never sees the test
+    # split.
+    print(f"[gate] static (val-chosen sigma {sv_sigma}) val solve_rate="
           f"{static_val_solve:.3f}", flush=True)
 
     best = (-1.0, None, -1)
@@ -236,18 +247,24 @@ def main(argv=None):
     t_solve, t_cf = learned_rates(var_best, test_b)
     use_learned = best[0] > static_val_solve
     bs = static_rows[best_sigma]
+    # The selected-static row reports the VAL-chosen sigma's test metrics —
+    # reporting the test-tuned best_sigma here would leak the test split
+    # through the gate (advisor r4, medium).
+    sv = static_rows[sv_sigma]
     sel_solve, sel_cf = ((t_solve, t_cf) if use_learned
-                         else (bs["solve_rate"], bs["contact_free_rate"]))
+                         else (sv["solve_rate"], sv["contact_free_rate"]))
     print(f"[gate] learned val {best[0]:.3f} vs static val "
-          f"{static_val_solve:.3f} -> selected="
+          f"{static_val_solve:.3f} (sigma {sv_sigma}) -> selected="
           f"{'learned' if use_learned else 'static'}", flush=True)
     results = {
         "static": {str(k): v for k, v in static_rows.items()},
+        "static_val": {str(k): v for k, v in static_val_rows.items()},
         "best_sigma": float(best_sigma),
         "learned": {"solve_rate": t_solve, "contact_free_rate": t_cf,
                     "val_epoch": int(best[2]), "loss": args.loss},
         "gate": {"learned_val_solve": float(best[0]),
                  "static_val_solve": static_val_solve,
+                 "static_val_sigma": float(sv_sigma),
                  "selected": "learned" if use_learned else "static"},
         "selected": {"solve_rate": sel_solve, "contact_free_rate": sel_cf},
         "history": history,
@@ -266,12 +283,14 @@ def main(argv=None):
         "",
         "| config | solve_rate | contact_free_rate |",
         "|---|---|---|",
-        f"| static_best (sigma {best_sigma}) | {bs['solve_rate']:.4f} | "
-        f"{bs['contact_free_rate']:.4f} |",
+        f"| static_best (test-oracle sigma {best_sigma}) | "
+        f"{bs['solve_rate']:.4f} | {bs['contact_free_rate']:.4f} |",
+        f"| static val-chosen (sigma {sv_sigma}) | {sv['solve_rate']:.4f} | "
+        f"{sv['contact_free_rate']:.4f} |",
         f"| eps_bounded-3d ({args.loss} loss, one model) | "
         f"{t_solve:.4f} | {t_cf:.4f} |",
         f"| **selected** (val gate: learned {best[0]:.3f} vs static "
-        f"{static_val_solve:.3f} -> "
+        f"{static_val_solve:.3f} @ sigma {sv_sigma} -> "
         f"{'learned' if use_learned else 'static'}) | **{sel_solve:.4f}** | "
         f"**{sel_cf:.4f}** |",
         "",

@@ -295,16 +295,6 @@ def train_config(name, w_over, lcfg_over, roots, args, out_dir):
                                      drop_remainder=True))
     rng_np = np.random.default_rng(1)
 
-    # Static val baseline for the selection gate (VERDICT r3 item 6): the
-    # best-of-9-sigmas static planner evaluated on the SAME val split the
-    # learned checkpoint is selected on.  Cached once per out_dir — the
-    # val split is deterministic (rng 123) so every config shares it.
-    sv = static_sweep(spec, robot, val_batches,
-                      os.path.join(out_dir, "static_val.yaml"))
-    sv_sigma = max(sv, key=lambda s: (sv[s]["solve_rate"],
-                                      sv[s]["contact_free_rate"]))
-    static_val = sv[sv_sigma]["solve_rate"]
-
     tx = make_optimizer("adam", {"alpha": alpha})
     weights = LossWeights(**w_over)
     tcfg = TrainConfig(T=args.unroll, tk=args.tk, use_inter_loss=True)
@@ -320,17 +310,50 @@ def train_config(name, w_over, lcfg_over, roots, args, out_dir):
         sample["th_opt"],
     )
     gate_file = os.path.join(out_dir, f"{name}_gate.yaml")
+
+    def val_gate_opponent():
+        """Static val baseline for the selection gate (VERDICT r3 item 6):
+        the best-of-9-sigmas static planner evaluated on the SAME val split
+        the learned checkpoint is selected on.  Cached once per out_dir —
+        the val split is deterministic (rng 123) so every config shares it.
+        Computed only when a gate record is actually produced (training, or
+        regenerating a missing gate): a checkpoint-resume with a gate file
+        must not pay the full sweep (advisor r4)."""
+        sv = static_sweep(spec, robot, val_batches,
+                          os.path.join(out_dir, "static_val.yaml"))
+        sv_sigma = max(sv, key=lambda s: (sv[s]["solve_rate"],
+                                          sv[s]["contact_free_rate"]))
+        return float(sv_sigma), float(sv[sv_sigma]["solve_rate"])
+
     if os.path.exists(ckpt):
         state = state.replace(
             variables=checkpoints.load_flat_variables(ckpt, state.variables)
         )
-        gate = None
         if os.path.exists(gate_file):
             with open(gate_file) as fp:
                 gate = yaml.safe_load(fp)
-        print(f"[train:{name}] loaded checkpoint, skipping training")
+            print(f"[train:{name}] loaded checkpoint, skipping training")
+        else:
+            # Pre-gate checkpoint: regenerate the gate record from the
+            # loaded variables instead of silently emitting a table with no
+            # selected row (advisor r4).
+            print(f"[train:{name}] loaded checkpoint with NO gate record — "
+                  "regenerating the val gate from the loaded variables")
+            sv_sigma, static_val = val_gate_opponent()
+            rate = _val_solve_rate(planner, state.variables, spec, robot,
+                                   val_batches)
+            gate = {"learned_val_solve": float(rate),
+                    "static_val_solve": static_val,
+                    "static_val_sigma": sv_sigma,
+                    "selected": "learned" if rate > static_val else "static"}
+            with open(gate_file, "w") as fp:
+                yaml.safe_dump(gate, fp)
+            print(f"[train:{name}] regenerated gate: learned val "
+                  f"{rate:.3f} vs static val {static_val:.3f} "
+                  f"(sigma {sv_sigma}) -> {gate['selected']}")
         return planner, state, gate
 
+    sv_sigma, static_val = val_gate_opponent()
     print(f"[train:{name}] {len(idxs)} problems, batch {args.batch}, "
           f"{args.epochs} epochs")
     hist = []
@@ -368,7 +391,7 @@ def train_config(name, w_over, lcfg_over, roots, args, out_dir):
     # still reported for honesty).
     gate = {"learned_val_solve": float(best_rate),
             "static_val_solve": float(static_val),
-            "static_val_sigma": float(sv_sigma),
+            "static_val_sigma": sv_sigma,
             "selected": "learned" if best_rate > static_val else "static"}
     print(f"[train:{name}] selected val solve_rate={best_rate:.3f}; gate "
           f"vs static val {static_val:.3f} (sigma {sv_sigma}) -> "
