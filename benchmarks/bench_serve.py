@@ -106,8 +106,35 @@ async def run_level(svc, world, concurrency, rounds, seed,
     }
 
 
+def make_multistart_adapter(args):
+    """Production multistart serving path (optionally RRT*-seeded) — the
+    `MultistartPlanningAdapter` wrapped by the same service.  Covariances
+    are the campaign defaults (tools/learned_campaign.COV); the RRT*
+    expert runs host-side per dispatch (core/seeds.py — the reference's
+    RRT*->GPMP2 recipe, examples/rrt_star_example.py, as a serving-time
+    input)."""
+    from dgpmp2_tpu.core import gn, graph
+    from dgpmp2_tpu.robots import PointRobot2D
+    from dgpmp2_tpu.serve import MultistartPlanningAdapter
+
+    spec = graph.GraphSpec(total_time_step=args.t)
+    cov = dict(qc_inv=np.eye(2), cost_sigma=0.05, epsilon_dist=0.4,
+               k_s=0.01, k_g=0.01)
+    return MultistartPlanningAdapter(
+        spec, PointRobot2D(), cov,
+        optim_cfg=gn.OptimConfig(reg=0.1, max_iters=args.iters,
+                                 method="lm"),
+        restarts=args.multistart, amp=2.0,
+        prune_iters=args.prune_iters, keep=args.keep,
+        rrt_seeds=args.rrt_seeds, rrt_plan_time=args.rrt_plan_time,
+    )
+
+
 async def amain(args):
-    planner = make_planner(args.t, args.iters)
+    if args.multistart:
+        planner = make_multistart_adapter(args)
+    else:
+        planner = make_planner(args.t, args.iters)
     svc = PlanningService(planner, batch_size=args.batch,
                           window_ms=args.window_ms)
     world = make_world()
@@ -151,7 +178,22 @@ def main():
                    help="ship the SDF with every request instead of the "
                         "device-resident world cache (measures the "
                         "per-request upload cost)")
-    asyncio.run(amain(p.parse_args()))
+    p.add_argument("--multistart", type=int, default=0, metavar="K",
+                   help="serve through MultistartPlanningAdapter with K "
+                        "restarts instead of the straight-seed planner")
+    p.add_argument("--prune_iters", type=int, default=0)
+    p.add_argument("--keep", type=int, default=0)
+    p.add_argument("--rrt_seeds", type=int, default=0,
+                   help="host-side RRT* seeds appended per problem "
+                        "(requires --multistart)")
+    p.add_argument("--rrt_plan_time", type=float, default=0.05,
+                   help="per-problem RRT* budget (s, host wall-clock; "
+                        "runs sequentially over the dispatch batch, so "
+                        "budget*batch bounds the added latency)")
+    args = p.parse_args()
+    if args.rrt_seeds and not args.multistart:
+        p.error("--rrt_seeds requires --multistart")
+    asyncio.run(amain(args))
 
 
 if __name__ == "__main__":

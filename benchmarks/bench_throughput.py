@@ -62,9 +62,9 @@ def build(b):
     return spec, robot, params, th0, sdf
 
 
-def timed(spec, robot, params, th0, sdf, iters):
+def timed(spec, robot, params, th0, sdf, iters, engine="stream"):
     cfg = gn.OptimConfig(reg=0.1, max_iters=iters, tol_delta=0.0,
-                         engine="stream")
+                         engine=engine)
     run = jax.jit(
         lambda p, th, s: gn.plan(spec, robot, p, th, s, cfg, unroll=2).th
     )
@@ -176,6 +176,28 @@ def main_sdf3d(batches):
               f"{b/best:9.0f} sdf/s  ({best/b*1e6:.1f} us/grid, {VOX}³)")
 
 
+def main_df32(batches):
+    """The price of reference-grade steps on the f32 backend: ms/GN-iter
+    for `OptimConfig(engine='df32')` (two-float assembly + block-Thomas
+    solve, docs/F32_PRECISION.md §1b) next to the standard stream engine
+    on the identical problem batch.  Same program-length-differencing
+    methodology as the 2-D plan bench — the quoted "~15x elementwise
+    flops" estimate becomes a measured column (VERDICT r4 item 5b)."""
+    for b in batches:
+        spec, robot, params, th0, sdf = build(b)
+        lengths = [50, 500, 1000]
+        per = {}
+        for eng in ("stream", "df32"):
+            times = [timed(spec, robot, params, th0, sdf, n, engine=eng)
+                     for n in lengths]
+            xs, ys = np.asarray(lengths, float), np.asarray(times, float)
+            per[eng] = float(np.polyfit(xs, ys, 1)[0])
+            print(f"B={b:5d} {eng:7s} {per[eng]*1e3:7.3f} ms/iter  "
+                  f"({per[eng]/b*1e6:.2f} us/iter/problem)")
+        print(f"B={b:5d} df32/stream cost ratio: "
+              f"{per['df32']/per['stream']:.1f}x")
+
+
 def main():
     if "--sdf" in sys.argv:
         sys.argv.remove("--sdf")
@@ -188,6 +210,10 @@ def main():
     if "--plan3d" in sys.argv:
         sys.argv.remove("--plan3d")
         main_plan3d([int(a) for a in sys.argv[1:]] or [128, 512, 1024])
+        return
+    if "--df32" in sys.argv:
+        sys.argv.remove("--df32")
+        main_df32([int(a) for a in sys.argv[1:]] or [1024])
         return
     batches = [int(a) for a in sys.argv[1:]] or [128, 512, 1024, 2048]
     for b in batches:

@@ -281,6 +281,7 @@ def test_plan_multistart_reports_winner_iters():
     assert np.all(np.asarray(staged.iters) <= 30)
 
 
+@pytest.mark.slow
 def test_extra_seeds_join_pool_and_can_win():
     """extra_seeds candidates are planned and selected like perturbed
     ones: an informed seed already sitting in a collision-free basin must

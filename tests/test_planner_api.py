@@ -214,6 +214,7 @@ def test_train_planner_cli_smoke(tmp_path):
     assert (tmp_path / "run" / "results.yaml").exists()
 
 
+@pytest.mark.slow
 def test_classic_planner_batched_matches_single():
     """plan_batch reproduces per-problem plan() results (GN and LM), with
     per-problem convergence freezing — the TPU-first upgrade of the

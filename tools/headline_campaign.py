@@ -69,9 +69,20 @@ SCALES = {
                restarts=32, prune_iters=10, keep=8, ms_batch=32, t=100,
                eval_every=3),
 }
-# Multi-start static control: best of these sigmas (the straight-seed
-# winners' neighborhood — same protocol as PERFORMANCE.md XL replication).
-MS_CONTROL_SIGMAS = [0.01, 0.02, 0.05]
+# Multi-start static control: best of these sigmas per family.  Most
+# families get the straight-seed winners' neighborhood (the PERFORMANCE.md
+# XL-replication protocol); forest additionally gets the weak-hinge
+# equilibrium region around sigma=0.5, the optimum the round-4 sweep found
+# (PERFORMANCE.md "RRT*-seeded multistart": cf 0.9727 at 0.5 vs <=0.91 at
+# the tight sigmas) — without it the static control is unfairly weak on
+# the one family where the tight-sigma equilibrium lies in contact.
+MS_CONTROL_SIGMAS = {
+    "multi_obs": [0.01, 0.02, 0.05],
+    "passage": [0.01, 0.02, 0.05],
+    "tar_pit": [0.01, 0.02, 0.05],
+    "mixed_clutter": [0.01, 0.02, 0.05],
+    "forest": [0.01, 0.05, 0.2, 0.5],
+}
 
 
 def run_arm_only(args):
@@ -155,9 +166,19 @@ def run(args):
     if s["keep"]:
         ms_common += ["--prune_iters", str(s["prune_iters"]),
                       "--keep", str(s["keep"])]
-    multistart_sweep.main(
-        ms_common + ["--sigmas"] + [str(x) for x in MS_CONTROL_SIGMAS]
-    )
+    # Per-family static control grids (forest includes the sigma=0.5
+    # equilibrium optimum): group families sharing a grid into one sweep
+    # call so compile caching still amortizes across families.
+    by_grid = {}
+    for fam in FAMILIES:
+        by_grid.setdefault(tuple(MS_CONTROL_SIGMAS[fam]), []).append(fam)
+    for grid, fams in by_grid.items():
+        ms_fam = list(ms_common)
+        i = ms_fam.index("--families")
+        j = i + 1 + len(FAMILIES)
+        ms_fam[i + 1: j] = fams
+        multistart_sweep.main(ms_fam + ["--sigmas"]
+                              + [str(x) for x in grid])
     ckpt = os.path.join(out, f"{HEADLINE_CONFIG}_vars.npz")
     multistart_sweep.main(
         ms_common + ["--no_static", "--cov_model", f"{HEADLINE_CONFIG}:{ckpt}"]
@@ -288,7 +309,9 @@ def assemble_table(args, s):
         L.append("")
 
     L.append("## Multi-start composition (identical K both arms; static = "
-             f"best of sigma {MS_CONTROL_SIGMAS})")
+             "best of the per-family control grid "
+             + "; ".join(f"{f}: {MS_CONTROL_SIGMAS[f]}" for f in fams)
+             + ")")
     L.append("")
     lk = [k for k in next(iter(ms.values()))
           if k.startswith(HEADLINE_CONFIG + "_ms")]
