@@ -85,21 +85,25 @@ def bench(name, sdf, pts):
     fn = engine_fn(name)
     b = sdf.shape[0]
 
+    # The SDF must be a jit ARGUMENT, not a closure capture: a captured
+    # device array is lowered as an HLO literal, and at B=1024 the 1 GB
+    # table turned into a multi-GB program upload through the tunnel
+    # (~20 min in remote_compile before the first timed line).
     @jax.jit
-    def run(pts0):
+    def run(sdf0, pts0):
         def body(i, carry):
-            d, g = fn(sdf, carry)
+            d, g = fn(sdf0, carry)
             # Fold outputs back into the carry so no iteration is dead.
             return carry + 1e-12 * (d[..., None] + g)
 
         return jax.lax.fori_loop(0, ITERS, body, pts0)
 
-    out = run(pts)
+    out = run(sdf, pts)
     assert bool(jnp.all(jnp.isfinite(out))), f"{name}: non-finite"
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(jnp.sum(run(pts)))
+        float(jnp.sum(run(sdf, pts)))
         best = min(best, time.perf_counter() - t0)
     per_eval = best / ITERS
     ns_per_sample = per_eval / (b * P) * 1e9

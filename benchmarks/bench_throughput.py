@@ -113,13 +113,25 @@ def build3d(b, t=100):
     spec = graph.GraphSpec(dof=3, state_dim=6, total_time_step=t,
                            z_lims=(-5.0, 5.0))
     robot = PointRobot3D()
-    vox = np.ones((b, VOX, VOX, VOX), np.float32)
-    r = rng.integers(10, VOX - 22, (b, 3))
-    for i in range(b):
-        vox[i, r[i, 0] : r[i, 0] + 12, r[i, 1] : r[i, 1] + 12,
-            r[i, 2] : r[i, 2] + 12] = 0.0
+    # Carve the box obstacles ON DEVICE from the (B, 3) corner array: a
+    # host-built (B, 64^3) f32 occupancy is 1 GB at B=1024, and that
+    # transfer over the tunneled backend dominates the whole benchmark
+    # (it blew a 15-minute budget in round 5).  Same worlds, same RNG.
+    r = jnp.asarray(rng.integers(10, VOX - 22, (b, 3)), jnp.int32)
+    ax = jnp.arange(VOX, dtype=jnp.int32)
+
+    @jax.jit
+    def carve(r):
+        inside = [
+            (ax[None, :] >= r[:, d:d + 1]) & (ax[None, :] < r[:, d:d + 1] + 12)
+            for d in range(3)
+        ]
+        box = (inside[0][:, :, None, None] & inside[1][:, None, :, None]
+               & inside[2][:, None, None, :])
+        return jnp.where(box, 0.0, 1.0).astype(jnp.float32)
+
     sdf = sdf_ops.sdf_from_occupancy_3d(
-        jnp.asarray(vox), res=10.0 / VOX
+        carve(r), res=10.0 / VOX
     ).astype(jnp.float32)
     start = jnp.zeros((b, 6), jnp.float32).at[:, :3].set(
         jnp.asarray(rng.uniform(-4.5, -3.5, (b, 3)), jnp.float32))

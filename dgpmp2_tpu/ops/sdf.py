@@ -730,15 +730,21 @@ def lookup_nd(sdf, points, res, x_lims, y_lims, z_lims=None):
         return lookup(sdf, points, res, x_lims, y_lims)
     method = _LOOKUP3D_METHOD
     if method == "auto":
-        # Measured on a v5e (B=1024, 64³, T=100, loop-in-jit, f32-exact
-        # MXU precision): XLA 8-tap gather 8.9 ns/sample vs the
-        # trajectory-locality tiled Pallas kernel 122 ns/sample (p_t=16) —
-        # at production batch the scattered-load rate is already at the
-        # fused-2-D-kernel rate and the brick kernel's small
-        # HIGHEST-precision dots are latency-bound.  The gather is the
-        # default everywhere; the tiled kernel stays opt-in
-        # (set_lookup3d_method("pallas_tile")) as the measured-negative
-        # record for the locality roadmap item (PERFORMANCE.md).
+        # Measured on a v5e (benchmarks/bench_lookup3d.py — committed
+        # bench, P=101 trajectory-shaped queries into 64³ f32 worlds,
+        # loop-in-jit x50): XLA 8-tap gather 112.9 ns/sample at B=1024
+        # (141.0 at B=128) vs the trajectory-locality tiled Pallas kernel
+        # 120.8 ns/sample at p_t=16 / B=1024 — near parity on its best
+        # case, and 437 ns/sample on scattered queries where every tile
+        # takes the full-volume fallback, while the gather is
+        # access-pattern-insensitive (113.6 ns scattered).  An earlier
+        # in-comment claim of 8.9 ns/sample for this gather was a
+        # measurement artifact (uncommitted run, never reproduced); the
+        # committed bench agrees with the 112 ns/sample the round-3
+        # plan-loop differencing inferred (PERFORMANCE.md "3-D lookup
+        # engines").  The gather is the default everywhere; the tiled
+        # kernel stays opt-in (set_lookup3d_method("pallas_tile")) as the
+        # measured-negative record for the locality roadmap item.
         method = "gather"
     return _LOOKUP3D_FNS[method](sdf, points, res, x_lims, y_lims, z_lims)
 

@@ -5,7 +5,10 @@ The kernel (ops/pallas/sdf_lookup3d.py) must match
 path: in-brick tiles, the full-volume fallback (tiles whose states span
 more than the brick), OOB queries, clamped edge corners, state-count
 padding, and non-cubic grids.  Interpret mode on CPU; the real-TPU
-lowering is exercised by the benchmarks (PERFORMANCE.md "3-D workspaces").
+lowering and the committed gather-vs-kernel measurement live in
+``benchmarks/bench_lookup3d.py`` (results: PERFORMANCE.md "3-D lookup
+engines" — the kernel is the measured-negative record there, the XLA
+gather is the production default).
 """
 import numpy as np
 import pytest
