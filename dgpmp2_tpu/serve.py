@@ -193,29 +193,58 @@ class MultistartPlanningAdapter:
         res = graph.eval_residuals(self.spec, self.robot, params, th, sdf)
         return graph.error_from_residuals(self.spec, params, res)
 
-    def plan(self, th0, start, goal, sdf):
+    def host_extra_seeds(self, start, goal, sdf):
+        """Host-side RRT* seed pool for one dispatch batch — numpy in,
+        numpy out, batch-leading ``(B, rrt_seeds, T+1, 2·dof)``.
+
+        The native RRT* expert is host code, so it can never run inside
+        the compiled serving program: ``PlanningService`` calls this
+        BEFORE dispatch and ships the result into the jitted plan as a
+        plain array argument (the TPU-first split of the reference's
+        RRT*→GPMP2 recipe: host proposes, device optimizes).  Cost is
+        sequential host wall-clock, ~``rrt_seeds · B · rrt_plan_time``
+        per dispatch — see benchmarks/bench_serve.py ``--rrt_seeds``.
+        """
+        import numpy as np
+
+        from .core import seeds as seeds_lib
+
+        start = np.asarray(start)
+        goal = np.asarray(goal)
+        sdf = np.asarray(sdf)
+        pool = []
+        for k in range(self.rrt_seeds):
+            s, _found = seeds_lib.rrt_seed_batch(
+                sdf, start, goal,
+                self.spec.x_lims, self.spec.y_lims,
+                self.spec.total_time_sec, self.spec.num_traj_states,
+                clearance=self.rrt_clearance,
+                plan_time=self.rrt_plan_time,
+                seed=self.seed + 7919 * k,
+            )
+            pool.append(s)
+        return np.stack(pool, axis=1)
+
+    def plan(self, th0, start, goal, sdf, extra_seeds=None):
+        """``extra_seeds`` — optional batch-leading ``(B, E, T+1, 2·dof)``
+        informed-seed pool (``host_extra_seeds`` output).  When
+        ``rrt_seeds > 0`` and it is omitted, the pool is computed here on
+        the host — valid only with concrete (non-traced) arrays; under
+        jit the caller must precompute it (``PlanningService`` does)."""
         params = graph.default_params(
             self.spec, self.robot, start, goal, **self.cov,
             dtype=self.dtype,
         )
         extra = None
-        if self.rrt_seeds > 0:
+        if extra_seeds is not None:
+            # (B, E, T+1, D) -> plan_multistart's (E, B, T+1, D)
+            extra = jnp.transpose(
+                jnp.asarray(extra_seeds, self.dtype), (1, 0, 2, 3))
+        elif self.rrt_seeds > 0:
             import numpy as np
 
-            from .core import seeds as seeds_lib
-
-            batch = []
-            for k in range(self.rrt_seeds):
-                s, _found = seeds_lib.rrt_seed_batch(
-                    np.asarray(sdf), np.asarray(start), np.asarray(goal),
-                    self.spec.x_lims, self.spec.y_lims,
-                    self.spec.total_time_sec, self.spec.num_traj_states,
-                    clearance=self.rrt_clearance,
-                    plan_time=self.rrt_plan_time,
-                    seed=self.seed + 7919 * k,
-                )
-                batch.append(s)
-            extra = jnp.asarray(np.stack(batch), self.dtype)
+            ex = self.host_extra_seeds(start, goal, sdf)
+            extra = jnp.asarray(np.swapaxes(ex, 0, 1), self.dtype)
         res = self._ms.plan_multistart(
             self.spec, self.robot, params, th0, sdf, self.cfg, self.rng,
             restarts=self.restarts, amp=self.amp,
@@ -298,9 +327,26 @@ class PlanningService:
 
         spec = planner.spec
 
-        def core(th0, s, g, sdf):
-            res = planner.plan(th0, s, g, sdf)
-            return res.th, res.err_init, res.err_final, res.iters
+        # Planners whose seed pool needs host-side work (the RRT* expert
+        # of MultistartPlanningAdapter) expose `host_extra_seeds`; the
+        # service runs it before each dispatch and the compiled program
+        # takes the pool as one extra batch-leading argument.  Tracing
+        # the host code inside the jit is impossible (it is native C++
+        # over concrete arrays), so this split is structural, not an
+        # optimization.
+        self._host_seeds = (
+            getattr(planner, "host_extra_seeds", None)
+            if getattr(planner, "rrt_seeds", 0) else None)
+        self._world_np: dict = {}      # name -> host copy for host seeds
+
+        if self._host_seeds is not None:
+            def core(th0, s, g, sdf, extra):
+                res = planner.plan(th0, s, g, sdf, extra_seeds=extra)
+                return res.th, res.err_init, res.err_final, res.iters
+        else:
+            def core(th0, s, g, sdf):
+                res = planner.plan(th0, s, g, sdf)
+                return res.th, res.err_init, res.err_final, res.iters
 
         def seed(s, g):
             return straight_line_traj(
@@ -335,15 +381,28 @@ class PlanningService:
             )
         else:
             jit = lambda fn, n_in, bank=False: jax.jit(fn)  # noqa: E731
-        self._plan_cold = jit(
-            lambda s, g, sdf: core(seed(s, g), s, g, sdf), 3)
-        self._plan_warm = jit(core, 4)
-        self._plan_cold_bank = jit(
-            lambda s, g, idx, bank: core(seed(s, g), s, g, bank[idx]),
-            3, bank=True)
-        self._plan_warm_bank = jit(
-            lambda th0, s, g, idx, bank: core(th0, s, g, bank[idx]),
-            4, bank=True)
+        if self._host_seeds is not None:
+            self._plan_cold = jit(
+                lambda s, g, sdf, ex: core(seed(s, g), s, g, sdf, ex), 4)
+            self._plan_warm = jit(core, 5)
+            self._plan_cold_bank = jit(
+                lambda s, g, idx, ex, bank:
+                    core(seed(s, g), s, g, bank[idx], ex),
+                4, bank=True)
+            self._plan_warm_bank = jit(
+                lambda th0, s, g, idx, ex, bank:
+                    core(th0, s, g, bank[idx], ex),
+                5, bank=True)
+        else:
+            self._plan_cold = jit(
+                lambda s, g, sdf: core(seed(s, g), s, g, sdf), 3)
+            self._plan_warm = jit(core, 4)
+            self._plan_cold_bank = jit(
+                lambda s, g, idx, bank: core(seed(s, g), s, g, bank[idx]),
+                3, bank=True)
+            self._plan_warm_bank = jit(
+                lambda th0, s, g, idx, bank: core(th0, s, g, bank[idx]),
+                4, bank=True)
         self._queue: Optional[asyncio.Queue] = None
         self._task: Optional[asyncio.Task] = None
         self._lock = threading.Lock()  # device dispatch is serialized
@@ -354,6 +413,7 @@ class PlanningService:
             "batches": 0,
             "padded_rows": 0,
             "device_time_s": 0.0,
+            "host_seed_time_s": 0.0,
         }
 
     # -- world cache ---------------------------------------------------------
@@ -364,6 +424,10 @@ class PlanningService:
         SDF payload.  Re-registering a name replaces its SDF."""
         dt = self.planner.dtype
         row = jnp.asarray(np.asarray(sdf), dt)
+        if self._host_seeds is not None:
+            # Host copy for the pre-dispatch seed expert — avoids a
+            # device->host fetch of the bank row on every dispatch.
+            self._world_np[name] = np.asarray(sdf, dt)
         with self._lock:
             if name in self._world_index:
                 i = self._world_index[name]
@@ -411,17 +475,26 @@ class PlanningService:
         bank-indexed program when worlds are registered (pass no
         ``sdf_shape``), the inline-SDF program otherwise."""
         dt = self.planner.dtype
-        d = self.planner.spec.state_dim
+        spec = self.planner.spec
+        d = spec.state_dim
         start = jnp.zeros((self.batch_size, d), dt)
         goal = jnp.ones((self.batch_size, d), dt)
+        extra_tail = ()
+        if self._host_seeds is not None:
+            # Compile-shape-only pool: zeros have the right (B, E, T+1, D)
+            # signature; the warmup plan's numerics are discarded.
+            extra_tail = (jnp.zeros(
+                (self.batch_size, int(self.planner.rrt_seeds),
+                 spec.num_traj_states, d), dt),)
         if sdf_shape is None and self._world_bank is not None:
             idx = jnp.zeros((self.batch_size,), jnp.int32)
-            out = self._plan_cold_bank(start, goal, idx, self._world_bank)
+            out = self._plan_cold_bank(start, goal, idx, *extra_tail,
+                                       self._world_bank)
         else:
             if sdf_shape is None:
                 raise ValueError("no registered worlds: pass sdf_shape")
             sdf = jnp.ones((self.batch_size,) + tuple(sdf_shape), dt)
-            out = self._plan_cold(start, goal, sdf)
+            out = self._plan_cold(start, goal, sdf, *extra_tail)
         jax.block_until_ready(out)
 
     def plan_batch_sync(self, requests: Sequence[PlanRequest]):
@@ -458,6 +531,30 @@ class PlanningService:
             rows += [rows[0]] * pad
             th0 = jnp.asarray(np.stack(rows), dt)
 
+        # Host-side seed expert (RRT*) BEFORE the device dispatch: runs
+        # on the unpadded rows only (pad rows duplicate row 0's pool).
+        extra_tail = ()
+        if self._host_seeds is not None:
+            t_h = time.perf_counter()
+            sdf_rows = []
+            for r in requests:
+                if r.sdf is not None:
+                    sdf_rows.append(np.asarray(r.sdf))
+                elif r.world in self._world_np:
+                    sdf_rows.append(self._world_np[r.world])
+                else:
+                    raise ValueError(
+                        "request carries neither sdf nor a registered world")
+            ex = self._host_seeds(
+                np.stack([np.asarray(r.start) for r in requests]),
+                np.stack([np.asarray(r.goal) for r in requests]),
+                np.stack(sdf_rows),
+            )
+            if pad:
+                ex = np.concatenate([ex, np.repeat(ex[:1], pad, axis=0)])
+            extra_tail = (jnp.asarray(ex, dt),)
+            self.stats["host_seed_time_s"] += time.perf_counter() - t_h
+
         t0 = time.perf_counter()
         with self._lock:
             if bank_mode:
@@ -465,13 +562,14 @@ class PlanningService:
                     [self._world_index[r.world] for r in requests]
                     + [self._world_index[requests[0].world]] * pad
                 )
-                args = (start, goal, idx, self._world_bank)
+                args = (start, goal, idx) + extra_tail + (self._world_bank,)
                 out = (self._plan_warm_bank(th0, *args) if warm
                        else self._plan_cold_bank(*args))
             else:
                 sdf = self._resolve_sdfs(requests, pad)
-                out = (self._plan_warm(th0, start, goal, sdf) if warm
-                       else self._plan_cold(start, goal, sdf))
+                args = (start, goal, sdf) + extra_tail
+                out = (self._plan_warm(th0, *args) if warm
+                       else self._plan_cold(*args))
             # ONE transfer for every output (each separate fetch is a
             # full round-trip on a remote device)
             th, err0, errf, n_iters = jax.device_get(out)

@@ -233,6 +233,55 @@ def test_multistart_adapter_deterministic_and_improves(world):
     assert np.all(np.isfinite(r1.th))
 
 
+def test_multistart_rrt_seeds_through_service(world):
+    """Regression: the RRT* expert is HOST code — serving it used to
+    trace ``np.asarray(sdf)`` inside the service's jit and crash with
+    TracerArrayConversionError (found by benchmarks/bench_serve.py
+    --rrt_seeds, round 5).  The service must precompute the pool via
+    ``host_extra_seeds`` and pass it as a program argument, and the
+    served result must equal the adapter's eager ``plan`` (same fixed
+    RNG, same host seed pool)."""
+    from dgpmp2_tpu.core import gn, graph
+    from dgpmp2_tpu.robots import PointRobot2D
+    from dgpmp2_tpu.serve import MultistartPlanningAdapter
+
+    spec = graph.GraphSpec(total_time_step=12)
+    adapter = MultistartPlanningAdapter(
+        spec, PointRobot2D(),
+        dict(qc_inv=np.eye(2), cost_sigma=0.1, epsilon_dist=0.4,
+             k_s=0.01, k_g=0.01),
+        optim_cfg=gn.OptimConfig(reg=0.1, max_iters=8),
+        restarts=2, rrt_seeds=2, rrt_plan_time=0.02, dtype=jnp.float64,
+    )
+    svc = PlanningService(adapter, batch_size=2)
+    start = np.array([-4.0, -4.0, 0.0, 0.0])
+    goal = np.array([4.0, 4.0, 0.0, 0.0])
+
+    # inline-SDF path (padded partial batch) + warmup compile signature
+    svc.warmup(np.asarray(world).shape)
+    req = PlanRequest(start=start, goal=goal, sdf=np.asarray(world))
+    r1 = svc.plan_batch_sync([req])[0]
+    assert np.all(np.isfinite(r1.th))
+    assert r1.err_final < r1.err_init
+    assert svc.stats["host_seed_time_s"] > 0.0
+
+    # registered-world (bank) path returns the identical plan
+    svc.register_world("w", world)
+    r2 = svc.plan_batch_sync([PlanRequest(start=start, goal=goal,
+                                          world="w")])[0]
+    np.testing.assert_allclose(r2.th, r1.th, rtol=0, atol=1e-12)
+
+    # served == eager adapter.plan (the pool and RNG are deterministic)
+    th0 = straight_line_traj(
+        jnp.asarray(start[None, :2]), jnp.asarray(goal[None, :2]),
+        spec.total_time_sec, spec.total_time_step).astype(jnp.float64)
+    eager = adapter.plan(th0, jnp.asarray(start[None]),
+                         jnp.asarray(goal[None]),
+                         jnp.asarray(np.asarray(world)[None]))
+    np.testing.assert_allclose(np.asarray(eager.th[0]), r1.th,
+                               rtol=0, atol=1e-12)
+
+
 def test_sharded_service_matches_unsharded(planner, world):
     import jax
 
