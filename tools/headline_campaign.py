@@ -323,8 +323,12 @@ def assemble_table(args, s):
         row = ms.get(fam, {})
         st = row.get("best_solve", {})
         lr = row.get(lkey, {}) if lkey else {}
-        L.append(f"| {fam} | {st.get('solve_rate', float('nan')):.4f} | "
-                 f"**{lr.get('solve_rate', float('nan')):.4f}** | "
+        s_sr = st.get("solve_rate", float("nan"))
+        l_sr = lr.get("solve_rate", float("nan"))
+        # Bold only the actual winner (ties bold neither).
+        s_cell = f"**{s_sr:.4f}**" if s_sr > l_sr else f"{s_sr:.4f}"
+        l_cell = f"**{l_sr:.4f}**" if l_sr > s_sr else f"{l_sr:.4f}"
+        L.append(f"| {fam} | {s_cell} | {l_cell} | "
                  f"{lr.get('contact_free_rate', float('nan')):.4f} |")
     L.append("")
 
