@@ -158,7 +158,7 @@ class MultistartPlanningAdapter:
                  optim_cfg=None, restarts: int = 16, amp: float = 1.5,
                  prune_iters: int = 0, keep: int = 0, seed: int = 0,
                  select_margin: float = 0.0, rrt_seeds: int = 0,
-                 rrt_plan_time: float = 1.0,
+                 rrt_plan_time: float = 1.0, rrt_max_iters: int = 20000,
                  rrt_clearance: float = None, dtype=jnp.float32):
         from .core import gn, multistart
 
@@ -180,6 +180,12 @@ class MultistartPlanningAdapter:
                              "3-D workspaces are not supported yet")
         self.rrt_seeds = rrt_seeds
         self.rrt_plan_time = rrt_plan_time
+        # The RRT* loop stops at min(plan_time, max_iters).  The RNG is
+        # seed-deterministic, so results are reproducible exactly when the
+        # iteration cap binds first; a wall-clock cut lands on a
+        # load-dependent iteration.  Set rrt_max_iters low enough (with a
+        # generous rrt_plan_time) when served plans must be replayable.
+        self.rrt_max_iters = rrt_max_iters
         if rrt_clearance is None:
             import numpy as _np
             rrt_clearance = float(_np.max(_np.asarray(
@@ -220,6 +226,7 @@ class MultistartPlanningAdapter:
                 self.spec.total_time_sec, self.spec.num_traj_states,
                 clearance=self.rrt_clearance,
                 plan_time=self.rrt_plan_time,
+                max_iters=self.rrt_max_iters,
                 seed=self.seed + 7919 * k,
             )
             pool.append(s)

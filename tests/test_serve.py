@@ -251,7 +251,12 @@ def test_multistart_rrt_seeds_through_service(world):
         dict(qc_inv=np.eye(2), cost_sigma=0.1, epsilon_dist=0.4,
              k_s=0.01, k_g=0.01),
         optim_cfg=gn.OptimConfig(reg=0.1, max_iters=8),
-        restarts=2, rrt_seeds=2, rrt_plan_time=0.02, dtype=jnp.float64,
+        # Determinism in this test rides the ITERATION cap: a wall-clock
+        # budget truncates RRT* at a load-dependent iteration, so two
+        # dispatches on a busy host would grow different trees (observed
+        # as a flake under a concurrent campaign run, round 5).
+        restarts=2, rrt_seeds=2, rrt_plan_time=30.0, rrt_max_iters=400,
+        dtype=jnp.float64,
     )
     svc = PlanningService(adapter, batch_size=2)
     start = np.array([-4.0, -4.0, 0.0, 0.0])
