@@ -19,6 +19,7 @@ def test_obstacle_families(family):
     assert np.mean(im) > 0.3  # mostly free space
 
 
+@pytest.mark.slow
 def test_generate_and_load_roundtrip(tmp_path):
     spec = graph.GraphSpec(total_time_step=20)
     robot = PointRobot2D()
@@ -96,6 +97,7 @@ def test_generate_im_dataset(tmp_path):
     assert sdf.min() < 0 < sdf.max()  # signed field with obstacles
 
 
+@pytest.mark.slow
 def test_generate_paths_on_im_dataset(tmp_path):
     import jax.numpy as jnp
 
@@ -165,6 +167,7 @@ def test_dataset_caps_apply_independently(tmp_path):
         ds.PlanningDataset(str(tmp_path), mode="train", num_env_probs=9)
 
 
+@pytest.mark.slow
 def test_add_expert_paths_raises_on_unsolvable_env(tmp_path):
     """A uniform on-disk dataset needs probs_per_env labels for EVERY env;
     when no collision-free expert path exists the generator must fail

@@ -49,6 +49,7 @@ def test_clearance_patches_respected():
             assert np.all(vox[sl] == 1.0), (fam, p)
 
 
+@pytest.mark.slow
 def test_generate_and_reload_labels_contact_free(tmp_path):
     out = str(tmp_path / "d3")
     generate3d.generate_split3d(out, 2, 3, "boxes3d", 32,

@@ -151,6 +151,7 @@ def test_track_best_trajectory():
     assert float(jnp.max(r_obs[:, 1:-1])) == 0.0
 
 
+@pytest.mark.slow
 def test_learned_step_dtheta_predict():
     import jax as _jax
 

@@ -117,6 +117,7 @@ def test_block_assembly_matches_dense(spec_kwargs, robot):
         )
 
 
+@pytest.mark.slow
 def test_gn_step_matches_dense_solve():
     rng = np.random.default_rng(8)
     spec = graph.GraphSpec(total_time_step=10)

@@ -255,6 +255,7 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0]  # overfits the fixed toy batch
 
 
+@pytest.mark.slow
 def test_learned_lm_plan_matches_fixed_lm_planner():
     """OptimConfig(method='lm') drives the learned planner's plan() with
     the accept/reject 10x lambda schedule.  With static_init the
@@ -587,6 +588,7 @@ def _perturbed_state(planner, tx, batch, scale=0.05, seed=42):
     return state.replace(variables=jax.tree.unflatten(treedef, leaves))
 
 
+@pytest.mark.slow
 def test_err_ext_evaluated_under_fully_fixed_params():
     """err_ext is the anti-gaming metric: it must be computed with the
     ENTIRE fixed param set — including epsilon_dist, which reshapes the
@@ -709,6 +711,7 @@ def test_train_step_threads_dth_prev_under_dtheta_predict():
     assert np.isclose(float(metrics["loss"]), threaded, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_track_best_respects_gp_interpolated_collisions():
     """With use_gp_inter on, the track_best score must also treat
     between-support penetration (r_obsi) as colliding — symmetric with

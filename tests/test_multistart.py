@@ -50,6 +50,7 @@ def _problem(b=3):
     return params, th0, sdf
 
 
+@pytest.mark.slow
 def test_perturbed_inits_base_and_endpoints():
     """Restart 0 is the unperturbed base; every restart keeps both endpoint
     states (position AND velocity) exactly."""
@@ -82,6 +83,7 @@ def test_plan_multistart_k1_matches_plan():
     assert np.all(np.asarray(out.k_best) == 0)
 
 
+@pytest.mark.slow
 def test_select_best_picks_argmin_per_problem():
     """select_best on a hand-tiled (K·B) pool: the winner per problem is
     the candidate score_candidates ranks lowest, and contact_free mirrors
@@ -122,6 +124,7 @@ def test_score_candidates_nan_candidate_never_wins():
     assert np.all(np.isfinite(np.asarray(out.th)))
 
 
+@pytest.mark.slow
 def test_score_candidates_gp_inter_catches_threading():
     """With spec.use_gp_inter, scoring checks the GP-interpolated states:
     a trajectory whose support states straddle a thin wall scores clean

@@ -34,6 +34,7 @@ def _problem(b, t=12, imsize=32):
     return spec, robot, params, th0, sdf
 
 
+@pytest.mark.slow
 def test_data_parallel_plan_matches_single_device():
     spec, robot, params, th0, sdf = _problem(b=16)
     cfg = gn.OptimConfig(reg=0.1, max_iters=5)

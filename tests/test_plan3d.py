@@ -190,6 +190,7 @@ def test_plan3d_multistart_and_env3d():
     np.testing.assert_allclose(env.to_world(env.to_voxel_xyz(w)), w, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_plan3d_serving_dispatch():
     """PlanningService is SDF-shape generic: 3-D voxel worlds flow through
     the batch packer, world bank, and dispatch unchanged."""

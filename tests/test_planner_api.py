@@ -41,6 +41,7 @@ def test_reference_yaml_roundtrip():
     assert spec.M == 509 and spec.N == 404
 
 
+@pytest.mark.slow
 def test_diff_planner_step_matches_manual_gn():
     env, pp, gp, obs, opt, robot_data = _load()
     pp = dict(pp, total_time_step=15)
@@ -90,6 +91,7 @@ def test_plan_vs_manual_step_loop_parity():
     )
 
 
+@pytest.mark.slow
 def test_classic_planner_step_and_error():
     """Public single-step API (reference gpmp2_planner.step semantics):
     a user-owned loop over (dtheta, err_old) converges, and planner.error

@@ -44,6 +44,7 @@ def _parity(sdf, pts, res, atol_d=2e-5, atol_g=1e-4, **kw):
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=atol_g)
 
 
+@pytest.mark.slow
 def test_matches_gather_on_trajectories():
     rng = np.random.default_rng(0)
     n = 32
@@ -52,6 +53,7 @@ def test_matches_gather_on_trajectories():
     _parity(sdf, pts, 10.0 / n)
 
 
+@pytest.mark.slow
 def test_fallback_on_kinked_and_scattered_states():
     """Tiles whose states span more than the brick must take the in-kernel
     full-volume path and still match exactly."""
@@ -69,6 +71,7 @@ def test_fallback_on_kinked_and_scattered_states():
     _parity(sdf, pts, 10.0 / n)
 
 
+@pytest.mark.slow
 def test_oob_and_edge_points():
     rng = np.random.default_rng(2)
     n = 24
@@ -87,6 +90,7 @@ def test_oob_and_edge_points():
     assert float(jnp.max(jnp.abs(g1[0, :2]))) == 0.0
 
 
+@pytest.mark.slow
 def test_non_cubic_grid_and_tile_sizes():
     rng = np.random.default_rng(3)
     d_, h, w = 20, 24, 40
@@ -106,6 +110,7 @@ def test_non_cubic_grid_and_tile_sizes():
         np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vjp_matches_gather():
     """Backward replays the XLA trilinear formulation — cotangents for the
     SDF and the points must match the gather engine's."""
@@ -154,6 +159,7 @@ def test_dispatch_guards():
     )
 
 
+@pytest.mark.slow
 def test_pallas_tile_refuses_reference_oob_mode():
     sdf_ops.set_oob_mode("reference")
     try:

@@ -1,5 +1,6 @@
 """Block-tridiagonal solver: correctness vs dense solve + VJP vs AD."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +39,7 @@ def test_matvec_roundtrip():
     np.testing.assert_allclose(np.asarray(back), np.asarray(rhs), rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_custom_vjp_matches_dense_autodiff():
     rng = np.random.default_rng(2)
     diag, off, rhs = _random_spd_btd(rng, b=2, t=6, d=3)

@@ -98,6 +98,7 @@ def test_stream_engine_matches_standard():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_arm_reaches_workspace_target_without_ik():
     """Plan to a workspace point: joint goal prior weak (no IK supplied),
     the tip lands on the target; per-problem targets batch."""
